@@ -1,0 +1,170 @@
+"""Pixel/region correspondence math.
+
+Re-implements the reference semantics of CP2's correlation mapping
+(``tools/correlation_mapping.py`` in the reference repo) as fully
+vectorized, statically-shaped JAX — no per-sample Python loops, no
+``torch.unique`` — so everything jits and shards cleanly on TPU.
+
+Semantics pinned by the reference's analytic unit tests
+(``tests/test_correlation_mapping.py:65-130`` in the reference):
+
+  * ``get_correlation_map`` (reference ``correlation_mapping.py:141-189``):
+    boolean (B, X, Y) map of id equality between two flattened id maps.
+  * ``masked_iou`` (reference ``correlation_mapping.py:103-138``): set-style
+    IoU over the *multiset* of visible ids.  An id counts toward the
+    intersection if it occurs MORE THAN ONCE across the concatenation of
+    both visible maps — note this includes ids duplicated within a single
+    map, which is exactly what the reference's ``sharedIds`` fixture pins
+    down.  The union is the number of distinct visible ids.
+  * ``dense_loss_stats`` (reference ``correlation_mapping.py:11-53``):
+    per-sample mean/quartiles of positive and negative similarity scores,
+    computed with NaN-masking semantics (``nanmean``/``nanquantile``).
+
+The reference computes the per-sample unique counts with a Python loop over
+``torch.unique``; here each sample's ids are sorted once (static length
+2·P + 1) and run-length boundaries give distinct/duplicate counts — an
+O(B · P log P) sort that XLA vectorizes across the batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_iou(
+    map_a: jax.Array,
+    map_b: jax.Array,
+    mask_a: jax.Array,
+    mask_b: jax.Array,
+) -> jax.Array:
+    """IoU between the visible id sets of two id maps.
+
+    Args:
+      map_a, map_b: (B, P) id maps (any real dtype; ids compared exactly).
+      mask_a, mask_b: (B, P) visibility masks in {0, 1}.
+
+    Returns:
+      (B,) float32 IoU. ``intersection`` counts distinct non-zero ids whose
+      total occurrence count (over both visible maps) exceeds one; ``union``
+      counts distinct non-zero ids.  Ids are shifted by +1 first so that a
+      genuine id of 0 participates, while masked-out entries collapse to 0
+      and are ignored — mirroring the reference exactly.
+    """
+    if map_a.ndim != 2 or mask_a.ndim != 2:
+        raise ValueError(f"expected (B, P) maps/masks, got {map_a.shape=} {mask_a.shape=}")
+    batch = map_a.shape[0]
+    zeros = jnp.zeros((batch, 1), dtype=jnp.float32)
+    ids = jnp.concatenate(
+        [zeros, map_a.astype(jnp.float32) + 1.0, map_b.astype(jnp.float32) + 1.0],
+        axis=1,
+    )
+    masks = jnp.concatenate(
+        [zeros, mask_a.astype(jnp.float32), mask_b.astype(jnp.float32)], axis=1
+    )
+    vals = jnp.sort(ids * masks, axis=1)  # zeros (masked) sort to the front
+
+    # Run-length boundaries on the sorted values.  Position i >= 1 starts a
+    # new run iff vals[i] != vals[i-1]; the run has a duplicate iff the next
+    # element equals it (pad the tail with a sentinel that never matches).
+    sentinel = jnp.full((batch, 1), -1.0, dtype=vals.dtype)
+    nxt = jnp.concatenate([vals[:, 1:], sentinel], axis=1)
+    starts = jnp.concatenate(
+        [jnp.ones((batch, 1), dtype=bool), vals[:, 1:] != vals[:, :-1]], axis=1
+    )
+    nonzero = vals > 0
+    union = jnp.sum(starts & nonzero, axis=1)
+    intersection = jnp.sum(starts & nonzero & (nxt == vals), axis=1)
+    return intersection.astype(jnp.float32) / jnp.maximum(union, 1).astype(jnp.float32)
+
+
+def get_correlation_map(map_a: jax.Array, map_b: jax.Array) -> dict:
+    """Pixel-to-pixel id correspondence between two (B, H, W) id maps.
+
+    Returns a dict matching the reference (``correlation_mapping.py:141-189``):
+      corr_map:   (B, Ha*Wa, Hb*Wb) bool, True where ids are equal.
+      corr_map_a: (B, Ha*Wa) per-query match counts (sum over keys).
+      corr_map_b: (B, Hb*Wb) per-key match counts (sum over queries).
+      iou:        (B,) unmasked id IoU (all pixels visible).
+    """
+    if map_a.ndim != 3:
+        raise ValueError(f"expected (B, H, W) id maps, got {map_a.shape=}")
+    batch = map_a.shape[0]
+    flat_a = map_a.reshape(batch, -1)
+    flat_b = map_b.reshape(batch, -1)
+    corr_map = flat_a[:, :, None] == flat_b[:, None, :]
+    ones_a = jnp.ones_like(flat_a, dtype=jnp.float32)
+    ones_b = jnp.ones_like(flat_b, dtype=jnp.float32)
+    return {
+        "corr_map": corr_map,
+        "corr_map_a": corr_map.sum(2),
+        "corr_map_b": corr_map.sum(1),
+        "iou": masked_iou(flat_a, flat_b, ones_a, ones_b),
+    }
+
+
+def get_masked_correlation_map(
+    map_a: jax.Array,
+    map_b: jax.Array,
+    mask_a: jax.Array,
+    mask_b: jax.Array,
+) -> dict:
+    """Correspondence maps restricted to mask-visible pixels.
+
+    Mirrors reference ``correlation_mapping.py:192-247``: the raw
+    correspondence map is intersected with the outer product of the two
+    visibility masks, and a masked IoU is computed over visible ids only.
+    """
+    batch = map_a.shape[0]
+    results = get_correlation_map(map_a, map_b)
+    flat_mask_a = mask_a.reshape(batch, -1).astype(jnp.float32)
+    flat_mask_b = mask_b.reshape(batch, -1).astype(jnp.float32)
+    pair_mask = jnp.einsum("nx,ny->nxy", flat_mask_a, flat_mask_b)
+    corr_mask = results["corr_map"] * pair_mask
+    return {
+        "corr_map": results["corr_map"],
+        "corr_mask": corr_mask,
+        "corr_map_a": results["corr_map_a"],
+        "corr_map_a_masked": corr_mask.sum(2),
+        "corr_map_b": results["corr_map_b"],
+        "corr_map_b_masked": corr_mask.sum(1),
+        "iou": results["iou"],
+        "iou_masked": masked_iou(
+            map_a.reshape(batch, -1),
+            map_b.reshape(batch, -1),
+            flat_mask_a,
+            flat_mask_b,
+        ),
+    }
+
+
+def _nan_stats(scores: jax.Array) -> dict:
+    """Per-sample NaN-masked mean and quartiles of a (B, X, Y) score tensor."""
+    average = jnp.nanmean(scores, axis=(1, 2))
+    flat = scores.reshape(scores.shape[0], -1)
+    quartiles = jnp.nanquantile(flat, jnp.array([0.25, 0.5, 0.75]), axis=1)
+    return {
+        "quartiles": (quartiles[0], quartiles[1], quartiles[2]),
+        "average": average,
+    }
+
+
+def dense_loss_stats(logits_dense: jax.Array, labels_dense: jax.Array) -> dict:
+    """Positive/negative similarity statistics for dense contrastive logits.
+
+    Mirrors reference ``calcuate_dense_loss_stats`` (correlation_mapping.py:11-53),
+    including its NaN-masking trick: positive scores are the logits where the
+    label is set (others NaN), negatives the complement.  Statistics use
+    nanmean / nanquantile with linear interpolation, matching torch.
+    """
+    if logits_dense.shape != labels_dense.shape:
+        raise ValueError(f"{logits_dense.shape=} != {labels_dense.shape=}")
+    labels = labels_dense.astype(bool)
+    logits = jax.lax.stop_gradient(logits_dense.astype(jnp.float32))
+    nan = jnp.float32(jnp.nan)
+    positive_scores = jnp.where(labels, logits, nan)
+    negative_scores = jnp.where(labels, nan, logits)
+    return {
+        "positive": _nan_stats(positive_scores),
+        "negative": _nan_stats(negative_scores),
+    }

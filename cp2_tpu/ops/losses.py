@@ -1,0 +1,145 @@
+"""Loss functions: InfoNCE, CP2 dense loss, BYOL, segmentation CE.
+
+All losses are pure, statically-shaped functions.  Dynamic boolean
+indexing in the reference (e.g. negative-score reshaping,
+``builder.py:1332-1386``) becomes masked arithmetic so everything jits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """Unit-normalize along ``axis`` (torch F.normalize semantics)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def info_nce(pos: jax.Array, neg: jax.Array, temperature: float) -> jax.Array:
+    """Instance-level contrastive loss with the positive as class 0.
+
+    Matches the reference ``ContrastiveHead`` (builder.py:150-176):
+    ``CE(cat([pos, neg], 1) / T, zeros)``.
+
+    Args:
+      pos: (N, 1) positive similarities.
+      neg: (N, K) negative similarities.
+    """
+    logits = jnp.concatenate([pos, neg], axis=1) / temperature
+    # CE against label 0 == -log_softmax(logits)[:, 0]
+    log_prob = jax.nn.log_softmax(logits, axis=1)
+    return -jnp.mean(log_prob[:, 0])
+
+
+def moco_logits(q: jax.Array, k: jax.Array, queue: jax.Array):
+    """(l_pos, l_neg) similarities against the in-batch key and the queue.
+
+    Args:
+      q, k: (N, C) normalized embeddings.
+      queue: (K, C) normalized negative bank (stored row-major; the
+        reference keeps it (C, K), builder.py:476-482 — row-major is the
+        natural layout for an ``nk,kc`` matmul on the MXU).
+    """
+    l_pos = jnp.einsum("nc,nc->n", q, k)[:, None]
+    l_neg = jnp.einsum("nc,kc->nk", q, jax.lax.stop_gradient(queue))
+    return l_pos, l_neg
+
+
+def cp2_dense_loss(
+    logits_dense: jax.Array,
+    labels_dense: jax.Array,
+    temperature: float,
+) -> jax.Array:
+    """CP2's dense pairwise contrastive loss (reference builder.py:1430-1437).
+
+    ``logits_dense`` (N, X, Y) are (optionally corr-weighted) pixel-pair
+    similarities; softmax runs over the QUERY axis (dim 1), and the
+    positive mass is averaged over foreground pairs per sample.
+    """
+    n = logits_dense.shape[0]
+    log_sm = jax.nn.log_softmax(logits_dense / temperature, axis=1)
+    labels = labels_dense.reshape(n, -1)
+    num = jnp.sum((-log_sm).reshape(n, -1) * labels, axis=1)
+    den = jnp.maximum(labels.sum(axis=1), 1e-12)
+    return jnp.mean(num / den)
+
+
+def byol_loss(x: jax.Array, y: jax.Array) -> jax.Array:
+    """2 - 2·cosine similarity, per sample (reference builder.py:1080-1083)."""
+    x = l2_normalize(x, axis=-1)
+    y = l2_normalize(y, axis=-1)
+    return 2.0 - 2.0 * jnp.einsum("nc,nc->n", x, y)
+
+
+def softmax_cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    ignore_index: Optional[int] = None,
+) -> jax.Array:
+    """Mean pixel CE for NHWC logits against integer labels (N, H, W).
+
+    Matches torch ``nn.CrossEntropyLoss(reduction='none').mean()`` as used
+    by the finetune module (reference segment_network.py:171,237-239).
+    """
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    if ignore_index is None:
+        return -jnp.mean(picked)
+    valid = labels != ignore_index
+    return -jnp.sum(picked * valid) / jnp.maximum(valid.sum(), 1)
+
+
+def negative_reshape(
+    logits_dense: jax.Array,
+    labels_dense: jax.Array,
+    negative_type: str,
+    negative_scale: float,
+    negative_average: Optional[jax.Array] = None,
+    negative_median: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Post-process negative pair similarities (reference builder.py:1332-1386).
+
+    The reference mutates negatives in place via boolean indexing; here the
+    same transforms are expressed as fixed-shape ``where`` selects:
+
+      FIXED:   neg -> 2·sigmoid(scale·neg) - 1          (= tanh(scale·neg/2))
+      AVERAGE: neg -> 2·sigmoid(scale·(neg - mean_neg)) - 1
+      MEDIAN:  neg -> 2·sigmoid(scale·(neg - median_neg)) - 1
+      HARD:    scale negatives above their 75th percentile by 1.5
+      NONE:    identity
+    """
+    is_neg = ~labels_dense.astype(bool)
+
+    def squash(x):
+        return 2.0 / (1.0 + jnp.exp(-x * negative_scale)) - 1.0
+
+    if negative_type == "NONE":
+        return logits_dense
+    if negative_type == "FIXED":
+        return jnp.where(is_neg, squash(logits_dense), logits_dense)
+    if negative_type == "AVERAGE":
+        shift = jax.lax.stop_gradient(negative_average).reshape(-1, 1, 1)
+        return jnp.where(is_neg, squash(logits_dense - shift), logits_dense)
+    if negative_type == "MEDIAN":
+        shift = jax.lax.stop_gradient(negative_median).reshape(-1, 1, 1)
+        return jnp.where(is_neg, squash(logits_dense - shift), logits_dense)
+    if negative_type == "HARD":
+        negs = jnp.where(is_neg, logits_dense, jnp.nan)
+        q75 = jnp.nanquantile(negs, 0.75)
+        hard = is_neg & (logits_dense > q75)
+        return jnp.where(hard, logits_dense * 1.5, logits_dense)
+    raise NotImplementedError(f"negative_type={negative_type!r}")
+
+
+def topk_accuracy(logits: jax.Array, labels: jax.Array, ks=(1, 5)):
+    """Top-k accuracy in percent (reference builder.py:1690-1706)."""
+    order = jnp.argsort(-logits, axis=1)
+    out = []
+    for k in ks:
+        hit = jnp.any(order[:, :k] == labels[:, None], axis=1)
+        out.append(100.0 * jnp.mean(hit.astype(jnp.float32)))
+    return out

@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's distributed runtime
+(``main.py:168-178`` process groups, DDP wrappers, ``DistributedSampler``):
+
+* one process per *host* (JAX single-controller), devices enumerated by the
+  runtime; multi-host bootstrap is ``jax.distributed.initialize`` —
+  no TCP rendezvous or rank spawning.
+* data parallelism = a 1-D ``Mesh`` over all devices with the batch dim
+  sharded on axis ``"data"``; gradient averaging is inserted by XLA from
+  the sharding, replacing DDP's allreduce hooks.
+* cross-device negative gathering (reference ``concat_all_gather``,
+  builder.py:1710-1722) is implicit: under global-view jit every replica
+  sees the global batch, so queue updates are computed identically on all
+  replicas without an explicit collective.
+* SyncBN falls out of the same property (batch stats reduce over the
+  global batch); shuffle-BN (builder.py:609-649) is unnecessary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    Default is a 1-D data-parallel mesh over every addressable device —
+    the layout matching the reference's (pure DP) parallelism.  ``shape``
+    allows e.g. ``(2, 4)`` with ``axis_names=("data", "model")`` for
+    hybrid layouts.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-dim sharding (leading dim split over ``axis``)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a host batch pytree onto the mesh, batch dim sharded."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_pytree(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a parameter/state pytree across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
