@@ -1,0 +1,120 @@
+"""Benchmark: CP2 pretrain throughput (images/sec/chip) on real hardware.
+
+Runs the flagship configuration — CP2 dense contrastive pretraining,
+dilated ResNet-50 + ASPP contrast head, 224x224, bf16 compute — as the
+fully fused step (on-device augmentation + dual-encoder fwd/bwd + EMA +
+queue updates in ONE XLA program) and reports steady-state throughput.
+
+Baseline note: the reference publishes no numbers (BASELINE.md). The
+comparison constant below is the measured-order estimate for the reference
+PyTorch CP2 step (two ResNet-50 passes + dense loss) on one A100:
+~330 images/sec/chip.  BASELINE.json's north star is >=3x that per chip,
+so ``vs_baseline`` here is images_per_sec / (3 * 330) — i.e. 1.0 means
+the 3x target is met.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ASSUMED_REFERENCE_A100_IPS = 330.0
+TARGET_MULTIPLIER = 3.0
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cp2_tpu.augment import AugmentConfig, pretrain_batch_augment
+    from cp2_tpu.config import Config
+    from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
+    from cp2_tpu.ssl.model import output_stride_of
+    from cp2_tpu.ssl.train_step import (
+        backbone_output_stride_of,
+        make_optimizer,
+        make_pretrain_step,
+    )
+    from cp2_tpu.types import BackboneType, PretrainType
+    import cp2_tpu
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    hw = int(os.environ.get("BENCH_HW", "224"))
+    base = hw + 32  # host frames are slightly larger than the crop target
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    cfg = Config.fromfile(
+        os.path.join(os.path.dirname(cp2_tpu.__file__), "configs", "config_pretrain.py")
+    )
+    model_cfg = dict(cfg.model)
+    hp = SSLHyperParams.for_variant(PretrainType.CP2)
+    model = SSLEncoder(
+        model_cfg=model_cfg,
+        pretrain_type=PretrainType.CP2,
+        backbone_type=BackboneType.DEEPLABV3,
+        dim=128,
+        dtype=jnp.bfloat16,
+    )
+    tx = make_optimizer("sgd", 1e-3)
+    aug_cfg = AugmentConfig(out_hw=(hw, hw))
+
+    step_fn = make_pretrain_step(
+        model,
+        tx,
+        hp,
+        output_stride_of(model_cfg),
+        backbone_output_stride_of(model_cfg, BackboneType.DEEPLABV3),
+        metrics_level=0,
+        augment_fn=lambda rng, raw: pretrain_batch_augment(rng, raw, aug_cfg),
+    )
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((batch, hw, hw, 3), jnp.float32)
+    state = create_pretrain_state(
+        rng, model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+
+    r = np.random.RandomState(0)
+    raw = {
+        "fg": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
+        "bg0": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
+        "bg1": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
+    }
+
+    jitted = jax.jit(step_fn, donate_argnums=0)
+    for i in range(warmup):
+        state, metrics = jitted(state, raw, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = jitted(state, raw, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    ips = batch * steps / dt
+    n_chips = max(jax.device_count(), 1)
+    ips_per_chip = ips / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "cp2_pretrain_images_per_sec_per_chip",
+                "value": round(ips_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    ips_per_chip / (TARGET_MULTIPLIER * ASSUMED_REFERENCE_A100_IPS), 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

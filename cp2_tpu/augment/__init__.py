@@ -1,0 +1,19 @@
+"""Fused on-device augmentations and the two-crop/background pipelines."""
+
+from cp2_tpu.augment.pipeline import (
+    AugmentConfig,
+    FinetuneAugmentConfig,
+    background_augment_batch,
+    finetune_augment_batch,
+    pretrain_batch_augment,
+    two_crop_augment_batch,
+)
+
+__all__ = [
+    "AugmentConfig",
+    "FinetuneAugmentConfig",
+    "background_augment_batch",
+    "finetune_augment_batch",
+    "pretrain_batch_augment",
+    "two_crop_augment_batch",
+]

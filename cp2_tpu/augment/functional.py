@@ -1,0 +1,327 @@
+"""Per-image augmentation primitives as pure JAX (run on device, fused).
+
+The reference runs albumentations/torchvision on CPU workers
+(``main.py:206-245``, ``loader.py:50-118``); per the rebuild's north star
+these become device kernels fused into the train step: random resized
+crop (gather), color jitter / grayscale (elementwise), Gaussian blur
+(separable depthwise conv), flip (reverse), random erasing (mask) — all
+statically shaped, vmappable, and XLA-fusable.
+
+Conventions: images are (H, W, 3) float32 in [0, 1]; every op takes a PRNG
+key; probability gates are per-image ``where`` selects (both branches are
+computed — they're cheap elementwise ops and this keeps shapes static).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CropParams(NamedTuple):
+    """A crop box in source pixels + horizontal flip flag."""
+
+    y0: jax.Array  # float scalar
+    x0: jax.Array
+    h: jax.Array
+    w: jax.Array
+    flip: jax.Array  # bool scalar
+
+
+def sample_resized_crop(
+    rng: jax.Array,
+    src_hw: Tuple[int, int],
+    scale: Tuple[float, float] = (0.2, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+    flip_p: float = 0.5,
+    attempts: int = 10,
+) -> CropParams:
+    """torchvision-style RandomResizedCrop parameter sampling.
+
+    Samples ``attempts`` (area, log-aspect) candidates in parallel, takes
+    the first that fits, else falls back to a center crop clamped to the
+    ratio range — the same selection law, vectorized for XLA.
+    """
+    height, width = src_hw
+    area = float(height * width)
+    k_area, k_ratio, k_y, k_x, k_flip = jax.random.split(rng, 5)
+
+    target_area = area * jax.random.uniform(
+        k_area, (attempts,), minval=scale[0], maxval=scale[1]
+    )
+    log_ratio = jax.random.uniform(
+        k_ratio, (attempts,),
+        minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]),
+    )
+    aspect = jnp.exp(log_ratio)
+    ws = jnp.sqrt(target_area * aspect)
+    hs = jnp.sqrt(target_area / aspect)
+    valid = (ws <= width) & (hs <= height)
+    first = jnp.argmax(valid)  # first True, or 0 if none
+    any_valid = jnp.any(valid)
+
+    w_sel = ws[first]
+    h_sel = hs[first]
+
+    # fallback: clamp to ratio range, centered
+    in_ratio = width / height
+    fb_w = jnp.where(
+        in_ratio < ratio[0], float(width),
+        jnp.where(in_ratio > ratio[1], height * ratio[1], float(width)),
+    )
+    fb_h = jnp.where(
+        in_ratio < ratio[0], width / ratio[0],
+        jnp.where(in_ratio > ratio[1], float(height), float(height)),
+    )
+
+    w = jnp.where(any_valid, w_sel, fb_w)
+    h = jnp.where(any_valid, h_sel, fb_h)
+
+    u_y = jax.random.uniform(k_y)
+    u_x = jax.random.uniform(k_x)
+    y0 = jnp.where(any_valid, u_y * (height - h), (height - h) / 2.0)
+    x0 = jnp.where(any_valid, u_x * (width - w), (width - w) / 2.0)
+    flip = jax.random.bernoulli(k_flip, flip_p)
+    return CropParams(y0=y0, x0=x0, h=h, w=w, flip=flip)
+
+
+def crop_resize_bilinear(
+    img: jax.Array, crop: CropParams, out_hw: Tuple[int, int]
+) -> jax.Array:
+    """Crop + resize via one bilinear gather (half-pixel centers).
+
+    Output pixel (i, j) samples source coordinate
+    ``y0 + (i + 0.5) * h/out_h - 0.5`` — the fused form of crop-then-resize
+    with align_corners=False.  The horizontal flip folds into the column
+    coordinates (a reversed gather, free on TPU).
+    """
+    out_h, out_w = out_hw
+    src_h, src_w = img.shape[0], img.shape[1]
+
+    ys = crop.y0 + (jnp.arange(out_h) + 0.5) * (crop.h / out_h) - 0.5
+    cols = jnp.arange(out_w)
+    cols = jnp.where(crop.flip, out_w - 1 - cols, cols)
+    xs = crop.x0 + (cols + 0.5) * (crop.w / out_w) - 0.5
+
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    wy = (ys - y0f)[:, None, None]
+    wx = (xs - x0f)[None, :, None]
+    y0i = jnp.clip(y0f.astype(jnp.int32), 0, src_h - 1)
+    y1i = jnp.clip(y0i + 1, 0, src_h - 1)
+    x0i = jnp.clip(x0f.astype(jnp.int32), 0, src_w - 1)
+    x1i = jnp.clip(x0i + 1, 0, src_w - 1)
+
+    top = img[y0i][:, x0i] * (1 - wx) + img[y0i][:, x1i] * wx
+    bot = img[y1i][:, x0i] * (1 - wx) + img[y1i][:, x1i] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def crop_source_indices(
+    crop: CropParams, out_hw: Tuple[int, int], src_hw: Tuple[int, int]
+):
+    """Nearest-exact source (row, col) indices for each output cell.
+
+    This is the analytic id-map path: instead of materializing a 1..HW id
+    image and warping it (reference loader.py:66-118), the warp IS the
+    index computation.
+    """
+    out_h, out_w = out_hw
+    src_h, src_w = src_hw
+    rows = jnp.floor(crop.y0 + (jnp.arange(out_h) + 0.5) * (crop.h / out_h))
+    cols_base = jnp.arange(out_w)
+    cols_base = jnp.where(crop.flip, out_w - 1 - cols_base, cols_base)
+    cols = jnp.floor(crop.x0 + (cols_base + 0.5) * (crop.w / out_w))
+    rows = jnp.clip(rows.astype(jnp.int32), 0, src_h - 1)
+    cols = jnp.clip(cols.astype(jnp.int32), 0, src_w - 1)
+    return rows, cols
+
+
+def pixel_ids_from_crop(
+    crop: CropParams,
+    out_hw: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    stride: int = 1,
+) -> jax.Array:
+    """Warped pixel-id map computed analytically from crop geometry.
+
+    Ids number source pixels 1..H*W row-major (reference loader.py:67).
+    ``stride`` reproduces ``rescale_ids`` + nearest-exact upsample
+    (loader.py:39-43,69-72): source coords are quantized to the stride
+    grid's sample points (offset stride//2) before id assignment.
+    """
+    src_h, src_w = src_hw
+    rows, cols = crop_source_indices(crop, out_hw, src_hw)
+    if stride > 1:
+        red_h = len(range(stride // 2, src_h, stride))
+        red_w = len(range(stride // 2, src_w, stride))
+        # nearest-exact map full-res coord -> reduced-grid index -> sample coord
+        rows = stride // 2 + jnp.clip(
+            jnp.floor((rows + 0.5) * (red_h / src_h)).astype(jnp.int32), 0, red_h - 1
+        ) * stride
+        cols = stride // 2 + jnp.clip(
+            jnp.floor((cols + 0.5) * (red_w / src_w)).astype(jnp.int32), 0, red_w - 1
+        ) * stride
+    return rows[:, None] * src_w + cols[None, :] + 1
+
+
+def warp_id_map(
+    id_map: jax.Array, crop: CropParams, out_hw: Tuple[int, int]
+) -> jax.Array:
+    """Nearest-warp an arbitrary (H, W) id/region map through the crop."""
+    rows, cols = crop_source_indices(crop, out_hw, id_map.shape[:2])
+    return id_map[rows[:, None], cols[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# photometric ops
+# ---------------------------------------------------------------------------
+
+_LUMA = jnp.array([0.299, 0.587, 0.114])
+
+
+def _blend(a, b, factor):
+    return jnp.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
+
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta == 0, 0.0, h)
+    h = (h / 6.0) % 1.0
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(
+    rng: jax.Array,
+    img: jax.Array,
+    brightness: Tuple[float, float] = (0.6, 1.4),
+    contrast: Tuple[float, float] = (0.6, 1.4),
+    saturation: Tuple[float, float] = (0.6, 1.4),
+    hue: Tuple[float, float] = (-0.1, 0.1),
+    p: float = 0.8,
+) -> jax.Array:
+    """Brightness/contrast/saturation/hue jitter.
+
+    Factor ranges are the (min, max) form — albumentations
+    ``A.ColorJitter(0.4, 0.4, 0.4, 0.1)`` corresponds to (0.6, 1.4) etc.
+    Ops apply in fixed b→c→s→h order (the reference shuffles the order
+    per-sample; distributionally near-identical and far kinder to XLA).
+    """
+    k_b, k_c, k_s, k_h, k_p = jax.random.split(rng, 5)
+    out = img
+    fb = jax.random.uniform(k_b, minval=brightness[0], maxval=brightness[1])
+    out = jnp.clip(out * fb, 0.0, 1.0)
+    fc = jax.random.uniform(k_c, minval=contrast[0], maxval=contrast[1])
+    mean_gray = jnp.mean(out @ _LUMA)
+    out = _blend(out, mean_gray, fc)
+    fs = jax.random.uniform(k_s, minval=saturation[0], maxval=saturation[1])
+    gray = (out @ _LUMA)[..., None]
+    out = _blend(out, gray, fs)
+    fh = jax.random.uniform(k_h, minval=hue[0], maxval=hue[1])
+    h, s, v = _rgb_to_hsv(out)
+    out = _hsv_to_rgb((h + fh) % 1.0, s, v)
+    apply = jax.random.bernoulli(k_p, p)
+    return jnp.where(apply, out, img)
+
+
+def to_grayscale(rng: jax.Array, img: jax.Array, p: float = 0.2) -> jax.Array:
+    gray = (img @ _LUMA)[..., None]
+    apply = jax.random.bernoulli(rng, p)
+    return jnp.where(apply, jnp.broadcast_to(gray, img.shape), img)
+
+
+def gaussian_blur(
+    rng: jax.Array,
+    img: jax.Array,
+    sigma_range: Tuple[float, float] = (0.1, 2.0),
+    p: float = 0.5,
+    kernel_size: int = 13,
+) -> jax.Array:
+    """SimCLR-style Gaussian blur, separable depthwise conv.
+
+    Sigma is sampled per image (reference loader.py:121-130); the 13-tap
+    kernel covers 3σ at σ=2.  Applied as two 1-D convs on the VPU.
+    """
+    k_sigma, k_p = jax.random.split(rng)
+    sigma = jax.random.uniform(k_sigma, minval=sigma_range[0], maxval=sigma_range[1])
+    half = kernel_size // 2
+    xs = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    kernel = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    kernel = kernel / kernel.sum()
+
+    # edge-replicate padding matches PIL's clamped boundary handling (zero
+    # padding would darken borders)
+    x = jnp.pad(img, ((half, half), (half, half), (0, 0)), mode="edge")[None]
+    kv = kernel.reshape(kernel_size, 1, 1, 1)
+    kh = kernel.reshape(1, kernel_size, 1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    blurred = x
+    for k in (kv, kh):
+        blurred = jax.lax.conv_general_dilated(
+            blurred,
+            jnp.broadcast_to(k, k.shape[:2] + (1, 3)),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=dn,
+            feature_group_count=3,
+        )
+    apply = jax.random.bernoulli(k_p, p)
+    return jnp.where(apply, blurred[0], img)
+
+
+def random_erase(
+    rng: jax.Array,
+    img: jax.Array,
+    scale: Tuple[float, float] = (0.5, 0.8),
+    ratio: Tuple[float, float] = (0.8, 1.25),
+    value: float = 0.0,
+) -> jax.Array:
+    """Erase a random rectangle to ``value`` (p=1 in the CP2 recipe).
+
+    The reference uses torchvision RandomErasing (main.py:220-225) to
+    carve the hole the foreground is pasted into; here the rectangle is a
+    2-D index mask so the erase fuses with whatever follows.
+    """
+    h, w = img.shape[0], img.shape[1]
+    k_area, k_ratio, k_y, k_x = jax.random.split(rng, 4)
+    area = h * w * jax.random.uniform(k_area, minval=scale[0], maxval=scale[1])
+    aspect = jnp.exp(
+        jax.random.uniform(
+            k_ratio, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+        )
+    )
+    eh = jnp.clip(jnp.round(jnp.sqrt(area * aspect)), 1, h).astype(jnp.int32)
+    ew = jnp.clip(jnp.round(jnp.sqrt(area / aspect)), 1, w).astype(jnp.int32)
+    y0 = jax.random.randint(k_y, (), 0, jnp.maximum(h - eh + 1, 1))
+    x0 = jax.random.randint(k_x, (), 0, jnp.maximum(w - ew + 1, 1))
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = (ys >= y0) & (ys < y0 + eh) & (xs >= x0) & (xs < x0 + ew)
+    return jnp.where(inside[..., None], value, img)

@@ -1,0 +1,199 @@
+"""Host-side prefetching loader feeding raw frames to the device pipeline.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(main.py:260-289) with a deliberately thin design: the host only decodes
+and geometrically normalizes frames to a fixed base size (uint8); ALL
+photometric/crop/id-map work happens on device
+(``cp2_tpu.augment``), so host CPU and H2D bandwidth stay minimal.
+
+Sharding: under single-controller JAX each process loads the batch rows
+destined for its addressable devices — ``shard=(host_id, num_hosts)``
+partitions the per-step index stream, the moral equivalent of
+DistributedSampler without rank bookkeeping on the model side.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from cp2_tpu.data.datasets import region_mask_path
+
+
+def _decode_rgb(path: str, base_hw: Tuple[int, int]) -> np.ndarray:
+    with open(path, "rb") as f:
+        img = Image.open(f).convert("RGB")
+        if (img.height, img.width) != base_hw:
+            img = img.resize((base_hw[1], base_hw[0]), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+
+def _decode_mask(path: str, base_hw: Tuple[int, int]) -> np.ndarray:
+    with open(path, "rb") as f:
+        img = Image.open(f).convert("L")
+        if (img.height, img.width) != base_hw:
+            img = img.resize((base_hw[1], base_hw[0]), Image.NEAREST)
+        return np.asarray(img, dtype=np.int32)
+
+
+class PretrainDataSource:
+    """Unlabeled images (+ optional SAM region maps) at a fixed base size."""
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        base_hw: Tuple[int, int] = (256, 256),
+        with_region_maps: bool = False,
+    ):
+        self.files = list(files)
+        self.base_hw = base_hw
+        self.with_region_maps = with_region_maps
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load(self, index: int) -> Dict[str, np.ndarray]:
+        path = self.files[index]
+        out = {"image": _decode_rgb(path, self.base_hw)}
+        if self.with_region_maps:
+            out["region_map"] = _decode_mask(region_mask_path(path), self.base_hw)
+        return out
+
+
+class SegmentationDataSource:
+    """(image, mask) pairs; host does aspect-preserving resize + crop.
+
+    ``random_crop=True`` reproduces SmallestMaxSize + RandomCrop (train/val
+    transforms, reference finetune_dataset.py:301-337); ``False`` gives
+    the deterministic center crop used for test (:338-349).  Masks are
+    binarized when ``num_classes == 2`` (reference :113-116).
+    """
+
+    def __init__(
+        self,
+        pairs: Sequence[Tuple[str, str]],
+        image_size: int,
+        num_classes: int = 2,
+        random_crop: bool = True,
+        seed: int = 0,
+    ):
+        self.pairs = list(pairs)
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.random_crop = random_crop
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _smallest_max_size(self, img: Image.Image, resample) -> Image.Image:
+        s = self.image_size
+        scale = s / min(img.width, img.height)
+        return img.resize(
+            (max(s, round(img.width * scale)), max(s, round(img.height * scale))),
+            resample,
+        )
+
+    def load(self, index: int) -> Dict[str, np.ndarray]:
+        img_path, mask_path = self.pairs[index]
+        with open(img_path, "rb") as f:
+            img = Image.open(f).convert("RGB")
+        with open(mask_path, "rb") as f:
+            mask = Image.open(f).convert("L")
+        # reference resizes BOTH with nearest via albumentations; bilinear on
+        # the image is strictly better and distribution-compatible
+        img = self._smallest_max_size(img, Image.BILINEAR)
+        mask = self._smallest_max_size(mask, Image.NEAREST)
+        s = self.image_size
+        if self.random_crop:
+            y0 = self._rng.randint(0, img.height - s + 1)
+            x0 = self._rng.randint(0, img.width - s + 1)
+        else:
+            y0 = (img.height - s) // 2
+            x0 = (img.width - s) // 2
+        img = np.asarray(img, np.uint8)[y0 : y0 + s, x0 : x0 + s]
+        mask = np.asarray(mask, np.int32)[y0 : y0 + s, x0 : x0 + s]
+        if self.num_classes == 2:
+            mask = (mask > 0).astype(np.int32)
+        return {"image": img, "mask": mask}
+
+
+class HostDataLoader:
+    """Shuffling, sharding, batch-stacking iterator with background prefetch.
+
+    One worker thread decodes ahead into a bounded queue (PIL releases the
+    GIL during decode).  ``epoch_iterator(epoch)`` reshuffles with
+    ``seed + epoch`` — the DistributedSampler ``set_epoch`` contract
+    (reference main.py:503-505) without any process-group machinery.
+    """
+
+    def __init__(
+        self,
+        source,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        shard: Tuple[int, int] = (0, 1),
+        prefetch: int = 2,
+    ):
+        self.source = source
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard = shard
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        host_id, num_hosts = self.shard
+        n = len(self.source) // num_hosts
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.source)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        host_id, num_hosts = self.shard
+        return idx[host_id::num_hosts]
+
+    def epoch_iterator(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_indices(epoch)
+        nbatches = len(idx) // self.batch_size if self.drop_last else (
+            (len(idx) + self.batch_size - 1) // self.batch_size
+        )
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for b in range(nbatches):
+                if stop.is_set():
+                    return
+                rows = [
+                    self.source.load(i)
+                    for i in idx[b * self.batch_size : (b + 1) * self.batch_size]
+                ]
+                batch = {
+                    k: np.stack([r[k] for r in rows]) for k in rows[0]
+                }
+                q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

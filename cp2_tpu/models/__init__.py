@@ -16,6 +16,9 @@ from cp2_tpu.models.resnet import ResNet, frozen_param_labels
 from cp2_tpu.models.heads import ASPPHead, FCNHead
 from cp2_tpu.models.necks import DenseCLNeck, GlobalProjector
 from cp2_tpu.models.encoder_decoder import EncoderDecoder
+from cp2_tpu.models.unet import UNetEncoderOnly, UNetTruncated
+from cp2_tpu.models.vit import VisionTransformer
+from cp2_tpu.ops import seg_losses as _seg_losses  # register LOSSES entries
 
 __all__ = [
     "BACKBONES",

@@ -32,29 +32,31 @@ class EncoderDecoder(nn.Module):
     axis_name: Optional[str] = None
 
     def setup(self):
+        # param-tree keys are named explicitly ("backbone", "decode_head", …)
+        # so checkpoints have clean stable paths for the conversion matrix
         bb = dict(self.backbone)
         bb.setdefault("dtype", self.dtype)
         bb.setdefault("axis_name", self.axis_name)
         bb.pop("init_cfg", None)  # checkpoint loading is external param surgery
-        self.backbone_mod = BACKBONES.build(bb)
+        self.backbone_mod = BACKBONES.build(bb, name="backbone")
 
         head = dict(self.decode_head)
         head.setdefault("dtype", self.dtype)
         head.setdefault("axis_name", self.axis_name)
-        self.decode_head_mod = HEADS.build(head)
+        self.decode_head_mod = HEADS.build(head, name="decode_head")
 
         self.neck_mod = None
         if self.neck is not None:
             nk = dict(self.neck)
             nk.setdefault("dtype", self.dtype)
-            self.neck_mod = NECKS.build(nk)
+            self.neck_mod = NECKS.build(nk, name="neck_mod")
 
         self.aux_head_mod = None
         if self.auxiliary_head is not None:
             aux = dict(self.auxiliary_head)
             aux.setdefault("dtype", self.dtype)
             aux.setdefault("axis_name", self.axis_name)
-            self.aux_head_mod = HEADS.build(aux)
+            self.aux_head_mod = HEADS.build(aux, name="auxiliary_head")
 
     def extract_feat(self, img, *, train: bool = True):
         """Backbone stage features (tuple), optionally through the neck."""

@@ -1,0 +1,169 @@
+"""The pretrain step: one pure state transition, jitted end to end.
+
+Replaces the reference's hot loop (main.py:572-654: H2D copies → DDP
+forward with embedded collectives → backward allreduce → optimizer) with a
+single donated-buffer jit: EMA update, key forward, query forward/backward,
+optimizer update and queue enqueue all fuse into one XLA program; under a
+data mesh the gradient reduction rides ICI automatically.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cp2_tpu.ssl import objectives as obj
+from cp2_tpu.ssl.hparams import SSLHyperParams
+from cp2_tpu.ssl.queue import queue_enqueue
+from cp2_tpu.ssl.state import PretrainState
+from cp2_tpu.types import BackboneType, PretrainType
+
+
+def backbone_output_stride_of(model_cfg: dict, backbone_type: BackboneType,
+                              unet_truncated_dec_blocks: int = 2) -> int:
+    if backbone_type == BackboneType.UNET_ENCODER_ONLY:
+        return 32
+    if backbone_type == BackboneType.UNET_TRUNCATED:
+        return 32 >> unet_truncated_dec_blocks
+    strides = model_cfg["backbone"].get("strides", (1, 2, 2, 2))
+    return 4 * int(math.prod(strides))
+
+
+def make_pretrain_step(
+    model,
+    tx: optax.GradientTransformation,
+    hp: SSLHyperParams,
+    output_stride: int,
+    backbone_output_stride: int,
+    *,
+    metrics_level: int = 1,
+    augment_fn: Callable | None = None,
+) -> Callable[[PretrainState, Dict[str, jax.Array], jax.Array],
+              Tuple[PretrainState, Dict[str, jax.Array]]]:
+    """Build the (unjitted) step function for the configured variant.
+
+    ``augment_fn(rng, batch) -> batch`` optionally runs the fused on-device
+    augmentation inside the same XLA program as the model step.
+    """
+    pt = hp.pretrain_type
+
+    def step_fn(state: PretrainState, batch, rng):
+        aug_rng, dropout_rng = jax.random.split(rng)
+        if augment_fn is not None:
+            batch = augment_fn(aug_rng, batch)
+        rngs = {"dropout": dropout_rng}
+
+        # momentum update BEFORE the key forward (builder.py:726,1272)
+        state = state.ema_update(hp.momentum)
+
+        if pt in (PretrainType.CP2, PretrainType.PROPOSED):
+            key_out, key_mut = obj.cp2_key_forward(
+                model, state.ema_params, state.ema_batch_stats, batch
+            )
+
+            def loss_fn(params):
+                return obj.cp2_objective(
+                    model, params, state.batch_stats, key_out, batch,
+                    state.queue, hp, output_stride,
+                    rngs=rngs, metrics_level=metrics_level,
+                )
+
+        elif pt == PretrainType.MOCO:
+            key_out, key_mut = obj.moco_key_forward(
+                model, state.ema_params, state.ema_batch_stats, batch
+            )
+
+            def loss_fn(params):
+                return obj.moco_objective(
+                    model, params, state.batch_stats, key_out, batch,
+                    state.queue, hp, rngs=rngs, metrics_level=metrics_level,
+                )
+
+        elif pt == PretrainType.BYOL:
+            key_out, key_mut = obj.byol_key_forward(
+                model, state.ema_params, state.ema_batch_stats, batch
+            )
+
+            def loss_fn(params):
+                return obj.byol_objective(
+                    model, params, state.batch_stats, key_out, batch,
+                    state.queue, hp, rngs=rngs, metrics_level=metrics_level,
+                )
+
+        elif pt in (PretrainType.DENSECL, PretrainType.PROPOSED_V2):
+            key_out, key_mut = obj.densecl_key_forward(
+                model, state.ema_params, state.ema_batch_stats, batch, hp
+            )
+
+            def loss_fn(params):
+                return obj.densecl_objective(
+                    model, params, state.batch_stats, key_out, batch,
+                    (state.queue, state.queue2), hp, backbone_output_stride,
+                    state.step, rngs=rngs, metrics_level=metrics_level,
+                )
+
+        else:
+            raise NotImplementedError(f"pretrain_type={pt}")
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        queue, queue_ptr = state.queue, state.queue_ptr
+        queue2, queue2_ptr = state.queue2, state.queue2_ptr
+        enq = aux["enqueue"]
+        if "queue" in enq:
+            queue, queue_ptr = queue_enqueue(queue, queue_ptr, enq["queue"])
+        if "queue2" in enq:
+            queue2, queue2_ptr = queue_enqueue(queue2, queue2_ptr, enq["queue2"])
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=aux["mutated"]["batch_stats"],
+            ema_batch_stats=key_mut["batch_stats"],
+            opt_state=new_opt_state,
+            queue=queue,
+            queue_ptr=queue_ptr,
+            queue2=queue2,
+            queue2_ptr=queue2_ptr,
+        )
+        metrics = dict(aux["metrics"])
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return step_fn
+
+
+def cosine_lr_schedule(base_lr: float, epochs: int, steps_per_epoch: int):
+    """Per-epoch cosine decay (reference adjust_learning_rate, main.py:693-698)."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return schedule
+
+
+def make_optimizer(
+    optim: str,
+    lr,
+    *,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+) -> optax.GradientTransformation:
+    """SGD+momentum / AdamW, matching the reference's two options
+    (main.py:467-477)."""
+    if optim == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(lr, momentum=momentum),
+        )
+    if optim == "adamw":
+        return optax.adamw(lr, weight_decay=0.01)
+    raise NotImplementedError("Only sgd and adamw optimizers are supported.")

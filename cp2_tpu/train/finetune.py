@@ -1,0 +1,321 @@
+"""Supervised finetune entry point (CLI-compatible with finetune.py).
+
+Replaces the reference's Lightning trainer (finetune.py:142-274) with an
+explicit loop: jitted train step (device-side flips/jitter/noise fused
+in), per-epoch val + pseudo-test evaluation, best-checkpoint selection by
+``val_BinaryJaccardIndex`` (reference :164-171), and a final test pass on
+the best weights (:257-274).
+
+Run: ``python -m cp2_tpu.train.finetune --run_id r0 --log_dir /tmp/logs
+--img_dirs <imgs> --mask_dirs <masks> --pretrain_type NONE ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from cp2_tpu.types import DataSplitType, PretrainType
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    # fmt: off
+    parser.add_argument('--config', default=None, help='path to model config')
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--run_id', type=str, required=True)
+    parser.add_argument('--tags', nargs='+', default=[])
+    parser.add_argument('--offline_wandb', action='store_true')
+    parser.add_argument('--use_wandb', action='store_true')
+    parser.add_argument('--use_backbone_only', action='store_true')
+
+    parser.add_argument('--img_dirs', nargs='+', required=True)
+    parser.add_argument('--mask_dirs', nargs='+', required=True)
+    parser.add_argument('--train_data_ratio', type=float, default=1.0)
+    parser.add_argument('--data_split_type', type=str,
+                        choices=[x.name for x in DataSplitType],
+                        default=DataSplitType.FILENAME.name)
+
+    parser.add_argument('--log_dir', type=str, required=True)
+    parser.add_argument('--wandb_project', type=str, default='ssl-pretraining')
+    parser.add_argument('--wandb_team', type=str, default=None)
+    parser.add_argument('--num_workers', type=int, default=4)
+    parser.add_argument('--fast_dev_run', action='store_true')
+    parser.add_argument('--use_profiler', action='store_true')
+
+    parser.add_argument('--num_classes', type=int, default=2)
+    parser.add_argument('--lemon_data', action='store_true')
+    parser.add_argument('--img_height', default=352, type=int)
+    parser.add_argument('--img_width', default=352, type=int)
+
+    parser.add_argument('--batch_size', type=int, default=16)
+    parser.add_argument('--learning_rate', type=float, default=1e-4)
+    parser.add_argument('--epochs', type=int, default=100)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+
+    parser.add_argument('--pretrain_path', type=str, default='')
+    parser.add_argument('--pretrain_type', type=str,
+                        choices=[x.name for x in PretrainType], required=True)
+    parser.add_argument('--linear_evaluation', action='store_true')
+    parser.add_argument('--bf16', action='store_true', default=True)
+    parser.add_argument('--no-bf16', dest='bf16', action='store_false')
+    # fmt: on
+
+    args = parser.parse_args(argv)
+    if len(args.img_dirs) != 1 or len(args.mask_dirs) != 1:
+        raise ValueError("exactly one image dir and one mask dir supported")
+    args.pretrain_type = PretrainType[args.pretrain_type]
+    args.data_split_type = DataSplitType[args.data_split_type]
+    if args.lemon_data:
+        args.img_height = 544
+        args.img_width = 1024
+        args.num_classes = 12
+        args.epochs = 200
+    if args.fast_dev_run:
+        args.epochs = 1
+    return args
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import cp2_tpu
+    from cp2_tpu.augment import FinetuneAugmentConfig, finetune_augment_batch
+    from cp2_tpu.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from cp2_tpu.checkpoint.convert import load_pretrained_into_segmentor
+    from cp2_tpu.config import Config
+    from cp2_tpu.data import HostDataLoader, SegmentationDataSource
+    from cp2_tpu.data.datasets import (
+        get_data_splits,
+        list_image_mask_pairs,
+        pseudo_test_subset,
+    )
+    from cp2_tpu.models import build_segmentor
+    from cp2_tpu.ops.metrics import ConfusionState
+    from cp2_tpu.parallel import create_mesh, shard_batch, shard_pytree
+    from cp2_tpu.train.segmentation_task import (
+        create_seg_state,
+        make_seg_steps,
+    )
+    from cp2_tpu.utils import MetricLogger, seed_everything, setup_logger
+
+    root_key = seed_everything(args.seed)
+    run_dir = os.path.join(args.log_dir, args.run_id)
+    os.makedirs(run_dir, exist_ok=True)
+    logger = setup_logger("finetune", run_dir)
+    sink = MetricLogger(
+        args.log_dir, args.run_id, use_wandb=args.use_wandb,
+        wandb_project=args.wandb_project, wandb_team=args.wandb_team,
+        offline=args.offline_wandb, config={"hyper-parameters": vars(args)},
+        tags=["finetune"] + args.tags,
+    )
+
+    # ---------------- data ----------------
+    pairs = list_image_mask_pairs(args.img_dirs[0], args.mask_dirs[0])
+    splits = get_data_splits(pairs, args.data_split_type, args.train_data_ratio)
+    n_dev = jax.device_count()
+    pseudo = pseudo_test_subset(splits["test"], args.batch_size, 1)
+    logger.info(
+        f"splits: train={len(splits['train'])} val={len(splits['val'])} "
+        f"test={len(splits['test'])} pseudo={len(pseudo)}"
+    )
+    size = args.img_height
+    if args.img_height != args.img_width and not args.lemon_data:
+        raise ValueError("square images expected for polyp path")
+
+    def loader(paths, random_crop, shuffle, seed=0):
+        src = SegmentationDataSource(
+            paths, size, args.num_classes, random_crop=random_crop, seed=seed
+        )
+        return HostDataLoader(
+            src, args.batch_size, shuffle=shuffle, drop_last=shuffle, seed=seed
+        )
+
+    train_loader = loader(splits["train"], True, True, args.seed)
+    val_loader = loader(splits["val"], True, False, args.seed + 1)
+    test_loader = loader(splits["test"], False, False, args.seed + 2)
+    pseudo_loader = loader(pseudo, False, False, args.seed + 3)
+
+    # ---------------- model ----------------
+    config_path = args.config or os.path.join(
+        os.path.dirname(cp2_tpu.__file__), "configs", "config_finetune.py"
+    )
+    cfg = Config.fromfile(config_path)
+    cfg.model.decode_head.num_classes = args.num_classes
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg.model["dtype"] = dtype
+    model = build_segmentor(cfg)
+
+    sample = jnp.zeros((args.batch_size, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(args.seed), sample, train=False)
+    variables = dict(variables)
+
+    # pretrain-checkpoint loading matrix (segment_network.py:63-162)
+    if args.pretrain_type not in (PretrainType.RANDOM, PretrainType.NONE):
+        path = args.pretrain_path
+        if os.path.isdir(path) and not os.path.exists(os.path.join(path, "meta.json")):
+            path = latest_checkpoint(path) or path
+        ckpt_state, meta = _load_any_checkpoint(path)
+        variables, report = load_pretrained_into_segmentor(
+            variables, ckpt_state, meta, args.pretrain_type,
+            use_backbone_only=args.use_backbone_only,
+        )
+        logger.info(
+            f"loaded {len(report.get('loaded', []))} tensors from {path}; "
+            f"dropped {report.get('dropped', [])}"
+        )
+
+    tx = optax.adam(args.learning_rate)
+    tx = optax.chain(optax.add_decayed_weights(args.weight_decay), tx)
+
+    frozen_mask = None
+    if args.linear_evaluation:
+        # freeze the backbone (reference finetune.py:219-222)
+        frozen_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(p, "key", None) == "backbone" for p in path
+            ),
+            variables["params"],
+        )
+
+    train_step, eval_step, metrics_of = make_seg_steps(
+        model, tx, args.num_classes, (size, size), frozen_mask=frozen_mask
+    )
+    state = create_seg_state(
+        jax.random.PRNGKey(args.seed), model, tx, sample,
+        init_params=variables["params"],
+        init_batch_stats=variables.get("batch_stats", {}),
+    )
+
+    mesh = create_mesh()
+    state = shard_pytree(state, mesh)
+    aug_cfg = FinetuneAugmentConfig()
+
+    def fused_train_step(state, batch, rng, confusion):
+        k_aug, k_drop = jax.random.split(rng)
+        images, masks = finetune_augment_batch(
+            k_aug, batch["image"], batch["mask"], aug_cfg
+        )
+        return train_step(state, {"image": images, "mask": masks}, k_drop, confusion)
+
+    def eval_with_norm(state, batch, confusion):
+        images = batch["image"].astype(jnp.float32) / 255.0
+        return eval_step(state, {"image": images, "mask": batch["mask"]}, confusion)
+
+    jit_train = jax.jit(fused_train_step, donate_argnums=(0, 3))
+    jit_eval = jax.jit(eval_with_norm, donate_argnums=(2,))
+
+    def run_eval(loader, prefix):
+        confusion = ConfusionState.create(args.num_classes)
+        losses = []
+        for batch in loader.epoch_iterator(0):
+            batch = shard_batch(batch, mesh)
+            confusion, m = jit_eval(state, batch, confusion)
+            losses.append(float(m["loss"]))
+        result = {k: float(v) for k, v in metrics_of(confusion, prefix).items()}
+        if losses:
+            result[f"{prefix}loss"] = float(np.mean(losses))
+        return result
+
+    # ---------------- loop ----------------
+    best_iou = -1.0
+    best_path = None
+    monitor = (
+        "val_BinaryJaccardIndex" if args.num_classes == 2
+        else "val_MulticlassJaccardIndex"
+    )
+    step = 0
+    with mesh:
+        for epoch in range(args.epochs):
+            confusion = ConfusionState.create(args.num_classes)
+            t0 = time.time()
+            for i, batch in enumerate(train_loader.epoch_iterator(epoch)):
+                batch = shard_batch(batch, mesh)
+                state, confusion, m = jit_train(
+                    state, batch, jax.random.fold_in(root_key, step), confusion
+                )
+                step += 1
+                if args.fast_dev_run and i >= 1:
+                    break
+            train_metrics = {
+                k: float(v) for k, v in metrics_of(confusion, "train_").items()
+            }
+            train_metrics["train_loss"] = float(m["loss"])
+            train_metrics["epoch_time"] = time.time() - t0
+
+            val_metrics = run_eval(val_loader, "val_")
+            pseudo_metrics = run_eval(pseudo_loader, "pseudotest_") if pseudo else {}
+            sink.log({**train_metrics, **val_metrics, **pseudo_metrics, "epoch": epoch},
+                     step=step)
+            logger.info(
+                f"epoch {epoch}: train_loss={train_metrics['train_loss']:.4f} "
+                f"{monitor}={val_metrics.get(monitor, float('nan')):.4f}"
+            )
+
+            if val_metrics.get(monitor, -1.0) > best_iou:
+                best_iou = val_metrics[monitor]
+                best_path = save_checkpoint(
+                    run_dir, step, jax.device_get(state),
+                    meta={"epoch": epoch, monitor: best_iou,
+                          "pretrain_type": args.pretrain_type.name},
+                )
+                logger.info(f"new best {monitor}={best_iou:.4f} -> {best_path}")
+            if args.fast_dev_run:
+                break
+
+        # final test on the best checkpoint (reference finetune.py:257-274)
+        if best_path is not None:
+            state, _ = restore_checkpoint(best_path, jax.device_get(state))
+            state = shard_pytree(state, mesh)
+        test_metrics = run_eval(test_loader, "test_")
+        sink.log(test_metrics, step=step)
+        logger.info(f"test: {test_metrics}")
+    sink.close()
+    return test_metrics
+
+
+def _load_any_checkpoint(path):
+    """Load our orbax checkpoints or torch-format baseline state dicts."""
+    import numpy as np
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        import json
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.join(path, "state"))
+        meta = {}
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return state, meta
+    # torch checkpoint (downloaded baselines / reference artifacts)
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    meta = {}
+    if isinstance(ckpt, dict):
+        meta = {k: v for k, v in ckpt.items()
+                if isinstance(v, (str, int, float))}
+        for key in ("state_dict", "model"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    state = {
+        k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in ckpt.items()
+    }
+    return state, meta
+
+
+if __name__ == "__main__":
+    main(get_args())

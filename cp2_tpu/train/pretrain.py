@@ -1,0 +1,380 @@
+"""Pretraining entry point (CLI-compatible with the reference's main.py).
+
+The reference spawns one process per GPU, wires NCCL, and juggles three
+CPU dataloaders (main.py:37-165,315-553).  Here one controller process
+drives the whole mesh: three raw-frame host streams feed ONE jitted
+program that augments on device, runs the dual-encoder step, and updates
+optimizer/EMA/queues — per epoch, with cosine LR, checkpointing, and
+resume.
+
+Run: ``python -m cp2_tpu.train.pretrain --run_id r0 --log_dir /tmp/logs
+--data_dirs <dir> [--pretrain_type CP2] ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from cp2_tpu.types import (
+    BackboneType,
+    DatasetType,
+    MappingType,
+    NegativeType,
+    PretrainType,
+)
+
+DEFAULT_QUEUE_SIZE = 65536
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native copy-paste contrastive pretraining"
+    )
+    # fmt: off
+    parser.add_argument('--config', help='path to model configuration file')
+    parser.add_argument('--run_id', required=True, type=str)
+    parser.add_argument('--tags', nargs='+', default=[])
+    parser.add_argument('--offline_wandb', action='store_true')
+    parser.add_argument('--use_wandb', action='store_true')
+    parser.add_argument('--debug', action='store_true')
+
+    parser.add_argument('--pretrain_from_scratch', action='store_true')
+    parser.add_argument('--use_predictor', action='store_true')
+    parser.add_argument('--use_avgpool_global', action='store_true')
+    parser.add_argument('--use_symmetrical_loss', action='store_true')
+    parser.add_argument('--lmbd_coordinate', default=0, type=float)
+
+    parser.add_argument('--log_dir', type=str, required=True)
+    parser.add_argument('--wandb_project', type=str, default='ssl-pretraining')
+    parser.add_argument('--wandb_team', type=str, default=None)
+
+    parser.add_argument('--data_dirs', metavar='DIR', nargs='+', required=True)
+    parser.add_argument('--directory_type', type=str,
+                        choices=[x.name for x in DatasetType],
+                        default=DatasetType.FILENAME.name)
+
+    parser.add_argument('--backbone_type', type=str,
+                        choices=[x.name for x in BackboneType],
+                        default=BackboneType.DEEPLABV3.name)
+    parser.add_argument('--pretrain_type', type=str,
+                        choices=[x.name for x in PretrainType],
+                        default=PretrainType.CP2.name)
+    parser.add_argument('--mapping_type', type=str,
+                        choices=[x.name for x in MappingType],
+                        default=MappingType.CP2.name)
+    parser.add_argument('--negative_type', type=str,
+                        choices=[x.name for x in NegativeType],
+                        default=NegativeType.NONE.name)
+    parser.add_argument('--negative_scale', type=float, default=2)
+    parser.add_argument('--num-workers', default=4, type=int)
+
+    parser.add_argument('--lmbd_cp2_dense_loss', default=0.2, type=float)
+    parser.add_argument('--lmbd_region_corr_weight', default=1, type=float)
+    parser.add_argument('--lmbd_pixel_corr_weight', default=1, type=float)
+    parser.add_argument('--lmbd_not_corr_weight', default=1, type=float)
+    parser.add_argument('--pixel_ids_stride', default=1, type=int)
+    parser.add_argument('--unet_truncated_dec_blocks', default=2, type=int)
+    parser.add_argument('--same_foreground', action='store_true')
+    parser.add_argument('--cap_queue', action='store_true')
+    parser.add_argument('--include_background', action='store_true')
+
+    parser.add_argument('--dense_logits_temp', default=1, type=float)
+    parser.add_argument('--instance_logits_temp', default=0.2, type=float)
+
+    parser.add_argument('--lemon_data', action='store_true')
+    parser.add_argument('--img_height', default=224, type=int)
+    parser.add_argument('--img_width', default=224, type=int)
+    parser.add_argument('--foreground_min', default=0.5, type=float)
+    parser.add_argument('--foreground_max', default=0.8, type=float)
+
+    parser.add_argument('--epochs', default=200, type=int)
+    parser.add_argument('--max_steps', default=np.inf, type=float)
+    parser.add_argument('--start-epoch', default=0, type=int, dest='start_epoch')
+    parser.add_argument('-b', '--batch-size', default=256, type=int, dest='batch_size')
+    parser.add_argument('--lr', '--learning-rate', default=0.03, type=float, dest='lr')
+    parser.add_argument('--remove_lr_scheduler', action='store_true')
+    parser.add_argument('--momentum', default=0.9, type=float)
+    parser.add_argument('--optim', default='sgd')
+    parser.add_argument('--wd', '--weight-decay', default=1e-4, type=float,
+                        dest='weight_decay')
+    parser.add_argument('-p', '--print-freq', default=10, type=int, dest='print_freq')
+    parser.add_argument('--scalar-freq', default=100, type=int, dest='scalar_freq')
+    parser.add_argument('--ckpt-freq', default=100, type=int, dest='ckpt_freq')
+    parser.add_argument('--resume', default='', type=str)
+    parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--metrics_level', default=1, type=int,
+                        help='0=loss only, 1=reference scalar families')
+    parser.add_argument('--imagenet_checkpoint', default='', type=str,
+                        help='local torchvision resnet50 checkpoint for ImageNet init')
+    parser.add_argument('--bf16', action='store_true', default=True)
+    parser.add_argument('--no-bf16', dest='bf16', action='store_false')
+    # fmt: on
+
+    args = parser.parse_args(argv)
+    args.directory_type = DatasetType[args.directory_type]
+    args.pretrain_type = PretrainType[args.pretrain_type]
+    args.backbone_type = BackboneType[args.backbone_type]
+    args.mapping_type = MappingType[args.mapping_type]
+    args.negative_type = NegativeType[args.negative_type]
+
+    if args.lemon_data:
+        args.directory_type = DatasetType.CSV
+        args.img_height = 512
+        args.img_width = 512
+    if args.debug:
+        args.batch_size = 8
+    return args
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import cp2_tpu
+    from cp2_tpu.augment import AugmentConfig, pretrain_batch_augment
+    from cp2_tpu.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from cp2_tpu.config import Config
+    from cp2_tpu.data import HostDataLoader, PretrainDataSource, get_pretrain_files
+    from cp2_tpu.parallel import create_mesh, shard_batch, shard_pytree
+    from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
+    from cp2_tpu.ssl.model import output_stride_of
+    from cp2_tpu.ssl.train_step import (
+        backbone_output_stride_of,
+        cosine_lr_schedule,
+        make_optimizer,
+        make_pretrain_step,
+    )
+    from cp2_tpu.utils import AverageMeter, MetricLogger, ProgressMeter, seed_everything, setup_logger
+
+    root_key = seed_everything(args.seed)
+    run_dir = os.path.join(args.log_dir, args.run_id)
+    os.makedirs(run_dir, exist_ok=True)
+    logger = setup_logger("pretrain", run_dir)
+    metrics_sink = MetricLogger(
+        args.log_dir, args.run_id,
+        use_wandb=args.use_wandb, wandb_project=args.wandb_project,
+        wandb_team=args.wandb_team, offline=args.offline_wandb,
+        config={"hyper-parameters": vars(args)}, tags=["pretrain"] + args.tags,
+    )
+
+    config_path = args.config or os.path.join(
+        os.path.dirname(cp2_tpu.__file__), "configs", "config_pretrain.py"
+    )
+    cfg = Config.fromfile(config_path)
+    model_cfg = dict(cfg.model)
+
+    files = get_pretrain_files(args.data_dirs, args.directory_type, "train")
+    logger.info(f"dataset size: {len(files)}")
+
+    hp = SSLHyperParams.for_variant(
+        args.pretrain_type,
+        dataset_size=len(files),
+        cap_queue=args.cap_queue,
+        backbone_type=args.backbone_type,
+        mapping_type=args.mapping_type,
+        negative_type=args.negative_type,
+        negative_scale=args.negative_scale,
+        include_background=args.include_background,
+        lmbd_cp2_dense_loss=args.lmbd_cp2_dense_loss,
+        lmbd_pixel_corr_weight=args.lmbd_pixel_corr_weight,
+        lmbd_region_corr_weight=args.lmbd_region_corr_weight,
+        lmbd_not_corr_weight=args.lmbd_not_corr_weight,
+        lmbd_coordinate=args.lmbd_coordinate,
+        dense_logits_temp=args.dense_logits_temp,
+        instance_logits_temp=args.instance_logits_temp,
+        pixel_ids_stride=args.pixel_ids_stride,
+        unet_truncated_dec_blocks=args.unet_truncated_dec_blocks,
+        use_predictor=args.use_predictor,
+        use_avgpool_global=args.use_avgpool_global,
+        use_symmetrical_loss=args.use_symmetrical_loss,
+    )
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = SSLEncoder(
+        model_cfg=model_cfg,
+        pretrain_type=args.pretrain_type,
+        backbone_type=args.backbone_type,
+        dim=hp.dim,
+        unet_truncated_dec_blocks=hp.unet_truncated_dec_blocks,
+        dtype=dtype,
+    )
+
+    hw = (args.img_height, args.img_width)
+    need_region = hp.mapping_type in (MappingType.REGION_ID, MappingType.PIXEL_REGION_ID)
+    base_hw = (args.img_height + 32, args.img_width + 32)
+    source = PretrainDataSource(files, base_hw, with_region_maps=need_region)
+
+    def make_loader(seed):
+        return HostDataLoader(
+            source, args.batch_size, shuffle=True, drop_last=True, seed=seed
+        )
+
+    # three streams: foreground two-crop + two backgrounds (main.py:281-283)
+    loader_fg = make_loader(args.seed)
+    loader_bg0 = make_loader(args.seed + 1024)
+    loader_bg1 = make_loader(args.seed + 2048)
+    steps_per_epoch = len(loader_fg)
+    if steps_per_epoch == 0:
+        raise ValueError("dataset smaller than one batch")
+
+    lr = (
+        args.lr
+        if args.remove_lr_scheduler
+        else cosine_lr_schedule(args.lr, args.epochs, steps_per_epoch)
+    )
+    tx = make_optimizer(args.optim, lr, momentum=args.momentum,
+                        weight_decay=args.weight_decay)
+
+    aug_cfg = AugmentConfig(
+        out_hw=hw,
+        erase_scale=(args.foreground_min, args.foreground_max),
+        pixel_ids_stride=hp.pixel_ids_stride,
+    )
+
+    def augment_fn(rng, raw):
+        return pretrain_batch_augment(rng, raw, aug_cfg)
+
+    step_fn = make_pretrain_step(
+        model, tx, hp,
+        output_stride_of(model_cfg),
+        backbone_output_stride_of(
+            model_cfg, args.backbone_type, hp.unet_truncated_dec_blocks
+        ),
+        metrics_level=args.metrics_level,
+        augment_fn=augment_fn,
+    )
+
+    sample = jnp.zeros((args.batch_size, *hw, 3), jnp.float32)
+    state = create_pretrain_state(
+        root_key, model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+
+    if not args.pretrain_from_scratch and args.imagenet_checkpoint:
+        state = _load_imagenet_backbone(state, args.imagenet_checkpoint, logger)
+
+    start_epoch = args.start_epoch
+    if args.resume:
+        path = args.resume if os.path.isdir(args.resume) else latest_checkpoint(args.resume)
+        if path:
+            state, meta = restore_checkpoint(path, state)
+            start_epoch = int(meta.get("epoch", 0))
+            logger.info(f"resumed from {path} (epoch {start_epoch})")
+        else:
+            logger.info(f"no checkpoint found at {args.resume}")
+
+    mesh = create_mesh()
+    logger.info(f"mesh: {mesh}")
+    state = shard_pytree(state, mesh)
+    jitted = jax.jit(step_fn, donate_argnums=0)
+
+    step = int(state.step)
+    with mesh:
+        for epoch in range(start_epoch, args.epochs):
+            batch_time = AverageMeter("Time", ":6.3f")
+            loss_meter = AverageMeter("Loss", ":.4f")
+            progress = ProgressMeter(
+                steps_per_epoch, [batch_time, loss_meter], logger,
+                prefix=f"Epoch: [{epoch}]",
+            )
+            metrics_sink.log({"epoch": epoch, "update-step": step}, step=step)
+            end = time.time()
+            iters = zip(
+                loader_fg.epoch_iterator(epoch),
+                loader_bg0.epoch_iterator(epoch),
+                loader_bg1.epoch_iterator(epoch),
+            )
+            metrics = None
+            for i, (fg, bg0, bg1) in enumerate(iters):
+                if step > args.max_steps:
+                    break
+                raw = {"fg": fg["image"], "bg0": bg0["image"], "bg1": bg1["image"]}
+                if args.same_foreground:
+                    raw["bg1"] = raw["bg0"]
+                if need_region:
+                    raw["region_maps"] = fg["region_map"]
+                raw = shard_batch(raw, mesh)
+                state, metrics = jitted(
+                    state, raw, jax.random.fold_in(root_key, step)
+                )
+                if i % args.print_freq == 0:
+                    loss_meter.update(float(metrics["loss"]))
+                    batch_time.update(time.time() - end)
+                    progress.display(i)
+                if i % args.scalar_freq == 0:
+                    metrics_sink.log(
+                        {k: v for k, v in metrics.items()}, step=step
+                    )
+                end = time.time()
+                step += 1
+
+            is_last = epoch >= args.epochs - 1
+            if (
+                epoch % args.ckpt_freq == args.ckpt_freq - 1
+                or step > args.max_steps
+                or is_last
+            ):
+                path = save_checkpoint(
+                    run_dir, step, jax.device_get(state),
+                    meta={
+                        "epoch": epoch + 1,
+                        "pretrain_type": args.pretrain_type.name,
+                        "backbone_type": args.backbone_type.name,
+                    },
+                )
+                logger.info(f"saved checkpoint {path}")
+            if step > args.max_steps:
+                break
+    metrics_sink.close()
+    return state
+
+
+def _load_imagenet_backbone(state, checkpoint_path, logger):
+    """Graft a torch-format ResNet-50 ImageNet checkpoint into both encoders."""
+    import torch
+
+    from cp2_tpu.checkpoint.convert import graft_params, torchvision_resnet_to_flax
+
+    sd = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    bb_params, bb_stats = torchvision_resnet_to_flax(sd)
+
+    params = dict(state.params)
+    enc = dict(params.get("encoder", {}))
+    merged, report = graft_params(enc.get("backbone", {}), bb_params)
+    logger.info(
+        f"imagenet init: {len(report['loaded'])} tensors loaded, "
+        f"{len(report['missing_in_source'])} missing"
+    )
+    enc["backbone"] = merged
+    params["encoder"] = enc
+
+    stats_tree = dict(state.batch_stats)
+    enc_s = dict(stats_tree.get("encoder", {}))
+    merged_s, _ = graft_params(enc_s.get("backbone", {}), bb_stats)
+    enc_s["backbone"] = merged_s
+    stats_tree["encoder"] = enc_s
+
+    import jax
+
+    return state.replace(
+        params=params,
+        batch_stats=stats_tree,
+        ema_params=jax.tree_util.tree_map(lambda x: x.copy(), params),
+        ema_batch_stats=jax.tree_util.tree_map(lambda x: x.copy(), stats_tree),
+    )
+
+
+if __name__ == "__main__":
+    main(get_args())

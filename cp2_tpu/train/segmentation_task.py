@@ -1,0 +1,131 @@
+"""Supervised segmentation task: train/eval steps + state.
+
+Functional re-design of the reference's Lightning ``SegmentationModule``
+(networks/segment_network.py:48-309): forward → bilinear-resize logits to
+label resolution → mean CE → metric update, Adam optimizer.  Metrics are
+on-device confusion accumulators carried in the train state (one psum
+replaces torchmetrics' sync_dist).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.struct import dataclass as flax_dataclass
+
+from cp2_tpu.ops.losses import softmax_cross_entropy
+from cp2_tpu.ops.metrics import ConfusionState, compute_metrics
+from cp2_tpu.ops.resize import resize_bilinear
+
+BACKGROUND_CLASS = 0
+
+
+@flax_dataclass
+class SegTrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_seg_state(
+    rng: jax.Array, model, tx: optax.GradientTransformation, sample: jax.Array,
+    init_params: Any = None, init_batch_stats: Any = None,
+) -> SegTrainState:
+    variables = model.init(rng, sample, train=False)
+    params = init_params if init_params is not None else variables["params"]
+    batch_stats = (
+        init_batch_stats if init_batch_stats is not None
+        else variables.get("batch_stats", {})
+    )
+    return SegTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def seg_forward(model, variables, images, image_hw, *, train: bool, rngs=None,
+                mutable=False):
+    """Logits at label resolution + argmax prediction
+    (reference segment_network.py:219-231)."""
+    out = model.apply(
+        variables, images, train=train,
+        mutable=["batch_stats"] if mutable else False,
+        rngs=rngs,
+    )
+    if mutable:
+        logits, mutated = out
+    else:
+        logits, mutated = out, None
+    logits = resize_bilinear(logits.astype(jnp.float32), image_hw)
+    return logits, jnp.argmax(logits, axis=-1), mutated
+
+
+def make_seg_steps(
+    model,
+    tx: optax.GradientTransformation,
+    num_classes: int,
+    image_hw: Tuple[int, int],
+    *,
+    frozen_mask: Any = None,
+):
+    """Build (train_step, eval_step).
+
+    ``frozen_mask``: pytree of bools marking params to freeze
+    (--linear_evaluation, reference finetune.py:219-222) — their gradients
+    are zeroed, which composes with any optimizer.
+    """
+    binary = num_classes == 2
+    ignore = None if binary else BACKGROUND_CLASS
+
+    def train_step(state: SegTrainState, batch, rng, confusion: ConfusionState):
+        images, masks = batch["image"], batch["mask"]
+
+        def loss_fn(params):
+            logits, preds, mutated = seg_forward(
+                model,
+                {"params": params, "batch_stats": state.batch_stats},
+                images, image_hw, train=True, rngs={"dropout": rng}, mutable=True,
+            )
+            loss = softmax_cross_entropy(logits, masks)
+            return loss, (preds, mutated)
+
+        (loss, (preds, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, f: jnp.where(f, jnp.zeros_like(g), g), grads, frozen_mask
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=mutated["batch_stats"],
+            opt_state=new_opt,
+        )
+        confusion = confusion.update(preds, masks)
+        return new_state, confusion, {"loss": loss}
+
+    def eval_step(state: SegTrainState, batch, confusion: ConfusionState):
+        images, masks = batch["image"], batch["mask"]
+        logits, preds, _ = seg_forward(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, image_hw, train=False,
+        )
+        loss = softmax_cross_entropy(logits, masks)
+        return confusion.update(preds, masks), {"loss": loss}
+
+    def metrics_of(confusion: ConfusionState, prefix: str) -> Dict[str, jax.Array]:
+        return compute_metrics(
+            confusion, binary=binary, ignore_index=ignore, prefix=prefix
+        )
+
+    return train_step, eval_step, metrics_of

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Shared experiment-driver plumbing (parity with the reference's scripts/*.sh
+# preflight-test + sweep pattern, e.g. scripts/polyp.sh:16).
+set -euo pipefail
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+export PYTHONPATH="$REPO:${PYTHONPATH:-}"
+LOG_DIR="${LOG_DIR:-/tmp/cp2_tpu_logs}"
+DATA_DIR="${DATA_DIR:?set DATA_DIR to the pretrain image directory}"
+mkdir -p "$LOG_DIR"
+
+preflight() {
+  # every experiment runs the test suite first (reference scripts/polyp.sh:16)
+  python -m pytest "$REPO/tests" -q -m "not slow"
+}
+
+pretrain() { python -m cp2_tpu.train.pretrain --log_dir "$LOG_DIR" "$@"; }
+finetune() { python -m cp2_tpu.train.finetune --log_dir "$LOG_DIR" "$@"; }
+mirror()   { python -m cp2_tpu.train.mirror_pretrain --log_dir "$LOG_DIR" "$@"; }
+
+finetune_sweep() {
+  # ratio x seed matrix (reference sweep pattern: ratios 0.3/0.6/1, seeds 0/1/2)
+  local tag="$1"; shift
+  for ratio in 0.3 0.6 1.0; do
+    for seed in 0 1 2; do
+      finetune --run_id "${tag}-r${ratio}-s${seed}" \
+        --train_data_ratio "$ratio" --seed "$seed" "$@"
+    done
+  done
+}

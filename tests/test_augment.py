@@ -1,0 +1,109 @@
+"""On-device augmentation: analytic id maps, erase, photometric gates."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cp2_tpu.augment import AugmentConfig, pretrain_batch_augment
+from cp2_tpu.augment import functional as F
+from cp2_tpu.ops import rescale_ids, nearest_exact_resize
+
+
+def _identity_crop(h, w, flip=False):
+    return F.CropParams(
+        y0=jnp.float32(0), x0=jnp.float32(0),
+        h=jnp.float32(h), w=jnp.float32(w), flip=jnp.asarray(flip),
+    )
+
+
+def test_pixel_ids_identity_crop():
+    h, w = 12, 16
+    ids = np.asarray(F.pixel_ids_from_crop(_identity_crop(h, w), (h, w), (h, w)))
+    np.testing.assert_array_equal(ids, np.arange(1, h * w + 1).reshape(h, w))
+
+
+def test_pixel_ids_flip():
+    h, w = 8, 8
+    ids = np.asarray(
+        F.pixel_ids_from_crop(_identity_crop(h, w, flip=True), (h, w), (h, w))
+    )
+    np.testing.assert_array_equal(ids, np.arange(1, h * w + 1).reshape(h, w)[:, ::-1])
+
+
+def test_pixel_ids_stride_matches_reference_semantics():
+    """stride>1 must equal rescale_ids + nearest-exact upsample (loader.py:66-72)."""
+    h, w = 10, 14
+    stride = 2
+    base = jnp.arange(1, h * w + 1).reshape(h, w)
+    reference = nearest_exact_resize(rescale_ids(base, stride), (h, w))
+    ours = F.pixel_ids_from_crop(_identity_crop(h, w), (h, w), (h, w), stride=stride)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(reference))
+
+
+def test_crop_ids_correspond_to_overlap():
+    """Two crops of the same image share ids exactly on their overlap."""
+    src = (20, 20)
+    out = (10, 10)
+    crop_a = F.CropParams(jnp.float32(0), jnp.float32(0), jnp.float32(10), jnp.float32(10), jnp.asarray(False))
+    crop_b = F.CropParams(jnp.float32(2), jnp.float32(4), jnp.float32(10), jnp.float32(10), jnp.asarray(False))
+    ids_a = np.asarray(F.pixel_ids_from_crop(crop_a, out, src))
+    ids_b = np.asarray(F.pixel_ids_from_crop(crop_b, out, src))
+    shared = np.intersect1d(ids_a, ids_b)
+    assert shared.size > 0
+    # ids are consistent: same id means same source pixel by construction
+    assert ids_a.max() <= src[0] * src[1]
+
+
+def test_random_erase_zeroes_one_rect():
+    img = jnp.ones((32, 32, 3))
+    out = np.asarray(F.random_erase(jax.random.PRNGKey(0), img, (0.3, 0.5), (0.8, 1.25)))
+    zero_mask = (out[..., 0] == 0)
+    area = zero_mask.sum()
+    assert 0.2 * 32 * 32 < area < 0.7 * 32 * 32
+    # the zero region is a contiguous rectangle
+    rows = np.where(zero_mask.any(1))[0]
+    cols = np.where(zero_mask.any(0))[0]
+    assert zero_mask[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1].all()
+
+
+def test_color_jitter_zero_p_is_identity():
+    img = jnp.asarray(np.random.RandomState(0).rand(8, 8, 3).astype(np.float32))
+    out = F.color_jitter(jax.random.PRNGKey(0), img, p=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+
+
+def test_gaussian_blur_preserves_mean():
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3).astype(np.float32))
+    out = F.gaussian_blur(jax.random.PRNGKey(3), img, (1.9, 2.0), p=1.0)
+    assert abs(float(out.mean()) - float(img.mean())) < 0.02
+    assert float(out.std()) < float(img.std())  # blur reduces variance
+
+
+@pytest.mark.slow
+def test_pretrain_batch_augment_shapes_and_jit():
+    cfg = AugmentConfig(out_hw=(32, 32))
+    raw = {
+        "fg": jnp.asarray(
+            (np.random.RandomState(0).rand(2, 48, 48, 3) * 255).astype(np.uint8)
+        ),
+        "bg0": jnp.asarray(
+            (np.random.RandomState(1).rand(2, 48, 48, 3) * 255).astype(np.uint8)
+        ),
+        "bg1": jnp.asarray(
+            (np.random.RandomState(2).rand(2, 48, 48, 3) * 255).astype(np.uint8)
+        ),
+    }
+    fn = jax.jit(lambda r, x: pretrain_batch_augment(r, x, cfg))
+    batch = fn(jax.random.PRNGKey(0), raw)
+    assert batch["img_a"].shape == (2, 32, 32, 3)
+    assert batch["pixel_ids_a"].shape == (2, 32, 32)
+    assert batch["bg0"].shape == (2, 32, 32, 3)
+    # the background erase leaves a zero rectangle for compositing
+    assert bool((np.asarray(batch["bg0"][..., 0]) == 0).any())
+    # images normalized to [0, 1]
+    assert float(batch["img_a"].max()) <= 1.0 + 1e-6
+    # region ids default to pixel ids when no SAM maps are given
+    np.testing.assert_array_equal(
+        np.asarray(batch["region_ids_a"]), np.asarray(batch["pixel_ids_a"])
+    )

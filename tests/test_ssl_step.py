@@ -1,0 +1,180 @@
+"""SSL pretrain step smoke tests: every variant runs one jitted step.
+
+Uses a tiny ResNet-18 segmentor so CPU compiles stay tractable; asserts
+finite loss, queue pointer motion, EMA drift, and metric presence.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cp2_tpu.ssl import (
+    SSLEncoder,
+    SSLHyperParams,
+    create_pretrain_state,
+    output_stride_of,
+)
+from cp2_tpu.ssl.train_step import (
+    backbone_output_stride_of,
+    make_optimizer,
+    make_pretrain_step,
+)
+from cp2_tpu.types import BackboneType, PretrainType
+
+HW = 32
+BATCH = 2
+DIM = 16
+
+TINY_MODEL = dict(
+    type="EncoderDecoder",
+    backbone=dict(
+        type="ResNet",
+        depth=18,
+        stem_channels=8,
+        base_channels=8,
+        num_stages=4,
+        out_indices=(0, 1, 2, 3),
+        dilations=(1, 1, 1, 2),
+        strides=(1, 2, 2, 1),
+        norm_cfg=dict(type="BN"),
+        contract_dilation=True,
+    ),
+    decode_head=dict(
+        type="ASPPHead",
+        in_channels=64,
+        in_index=3,
+        channels=16,
+        contrast=True,
+        contrast_dim=DIM,
+        dilations=(1, 6),
+        num_classes=2,
+        norm_cfg=dict(type="BN"),
+    ),
+)
+
+
+def _tiny_batch(rng):
+    r = np.random.RandomState(rng)
+    imgs = {
+        k: jnp.asarray(r.rand(BATCH, HW, HW, 3).astype(np.float32))
+        for k in ("img_a", "img_b")
+    }
+    # backgrounds with an erased (zeroed) central rectangle
+    bg = r.rand(BATCH, HW, HW, 3).astype(np.float32)
+    bg[:, 8:24, 8:24, :] = 0.0
+    ids = np.arange(1, HW * HW + 1, dtype=np.int32).reshape(1, HW, HW)
+    ids = np.repeat(ids, BATCH, axis=0)
+    return {
+        **imgs,
+        "bg0": jnp.asarray(bg),
+        "bg1": jnp.asarray(bg.copy()),
+        "pixel_ids_a": jnp.asarray(ids),
+        "pixel_ids_b": jnp.asarray(ids),
+        "region_ids_a": jnp.asarray(ids),
+        "region_ids_b": jnp.asarray(ids),
+    }
+
+
+def _make_everything(pretrain_type, **hp_overrides):
+    # tiny backbone: final channels 64, so adjust neck/projector dims
+    hp = SSLHyperParams.for_variant(
+        pretrain_type, dim=DIM, queue_len=64, **hp_overrides
+    )
+    model = SSLEncoder(
+        model_cfg=TINY_MODEL,
+        pretrain_type=pretrain_type,
+        backbone_type=BackboneType.DEEPLABV3,
+        dim=DIM,
+    )
+    tx = make_optimizer("sgd", 0.05)
+    batch = _tiny_batch(0)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0),
+        model,
+        tx,
+        hp,
+        batch["img_a"],
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    os_ = output_stride_of(TINY_MODEL)
+    bos = backbone_output_stride_of(TINY_MODEL, BackboneType.DEEPLABV3)
+    step = make_pretrain_step(model, tx, hp, os_, bos, metrics_level=1)
+    return model, state, jax.jit(step), batch
+
+
+# the tiny neck/projector expect 2048-channel backbones in the real config;
+# here the in_channels are inferred lazily by flax Dense/Conv so 64 works.
+
+@pytest.mark.parametrize(
+    "variant",
+    [PretrainType.CP2, PretrainType.MOCO, PretrainType.BYOL, PretrainType.DENSECL],
+    ids=lambda v: v.name,
+)
+@pytest.mark.slow
+def test_pretrain_step_runs(variant):
+    kwargs = {}
+    if variant == PretrainType.DENSECL:
+        kwargs = dict(
+            momentum=0.999, lmbd_cp2_dense_loss=0.5,
+            instance_logits_temp=0.2, dense_logits_temp=0.2,
+        )
+    model, state, step, batch = _make_everything(variant, **kwargs)
+    rng = jax.random.PRNGKey(1)
+    state1, metrics = step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state1.step) == 1
+    if variant != PretrainType.BYOL:
+        assert int(state1.queue_ptr) == BATCH  # keys enqueued
+    # EMA params moved toward online params after the update
+    diff = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(
+            lambda a, b: a - b, state1.params, state1.ema_params
+        ),
+        0.0,
+    )
+    assert diff > 0.0
+
+    # second step reuses the compiled program and changes the loss
+    state2, metrics2 = step(state1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics2["loss"]))
+    assert float(metrics2["loss"]) != float(metrics["loss"])
+
+
+def test_hparam_validation_web():
+    from cp2_tpu.types import MappingType, NegativeType
+
+    with pytest.raises(ValueError):
+        SSLHyperParams(
+            pretrain_type=PretrainType.CP2, negative_type=NegativeType.FIXED
+        ).validated()
+    with pytest.raises(ValueError):
+        SSLHyperParams(
+            mapping_type=MappingType.PIXEL_ID, lmbd_pixel_corr_weight=1.0,
+            pretrain_type=PretrainType.PROPOSED,
+        ).validated()
+    with pytest.raises(ValueError):
+        SSLHyperParams(
+            pretrain_type=PretrainType.DENSECL, dense_logits_temp=1.0
+        ).validated()
+    # DENSECL via for_variant applies the forced bundle and passes
+    hp = SSLHyperParams.for_variant(PretrainType.DENSECL)
+    assert hp.dense_logits_temp == 0.2 and hp.lmbd_cp2_dense_loss == 0.5
+    # queue capping
+    hp = SSLHyperParams.for_variant(PretrainType.CP2, dataset_size=100, cap_queue=True)
+    assert hp.queue_len == 100
+
+
+def test_queue_wraparound():
+    from cp2_tpu.ssl.queue import queue_enqueue
+
+    queue = jnp.zeros((8, 4))
+    ptr = jnp.asarray(6, jnp.int32)
+    keys = jnp.ones((4, 4)) * jnp.arange(1, 5)[:, None]
+    new_q, new_ptr = queue_enqueue(queue, ptr, keys)
+    assert int(new_ptr) == 2
+    np.testing.assert_allclose(np.asarray(new_q[6]), np.full(4, 1.0))
+    np.testing.assert_allclose(np.asarray(new_q[7]), np.full(4, 2.0))
+    np.testing.assert_allclose(np.asarray(new_q[0]), np.full(4, 3.0))
+    np.testing.assert_allclose(np.asarray(new_q[1]), np.full(4, 4.0))
