@@ -31,6 +31,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: first run pays the compile, reruns don't
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from cp2_tpu.augment import AugmentConfig, pretrain_batch_augment
     from cp2_tpu.config import Config
     from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
@@ -64,14 +72,16 @@ def main():
     tx = make_optimizer("sgd", 1e-3)
     aug_cfg = AugmentConfig(out_hw=(hw, hw))
 
+    no_aug = os.environ.get("BENCH_NO_AUG", "0") == "1"
     step_fn = make_pretrain_step(
         model,
         tx,
         hp,
         output_stride_of(model_cfg),
         backbone_output_stride_of(model_cfg, BackboneType.DEEPLABV3),
-        metrics_level=0,
-        augment_fn=lambda rng, raw: pretrain_batch_augment(rng, raw, aug_cfg),
+        metrics_level=int(os.environ.get("BENCH_METRICS_LEVEL", "0")),
+        augment_fn=None if no_aug
+        else (lambda rng, raw: pretrain_batch_augment(rng, raw, aug_cfg)),
     )
 
     rng = jax.random.PRNGKey(0)
@@ -82,11 +92,29 @@ def main():
     )
 
     r = np.random.RandomState(0)
-    raw = {
-        "fg": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
-        "bg0": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
-        "bg1": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
-    }
+    if no_aug:
+        ids = np.tile(
+            np.arange(1, hw * hw + 1, dtype=np.int32).reshape(1, hw, hw),
+            (batch, 1, 1),
+        )
+        bg = (r.rand(batch, hw, hw, 3)).astype(np.float32)
+        bg[:, hw // 4 : 3 * hw // 4, hw // 4 : 3 * hw // 4, :] = 0.0
+        raw = {
+            "img_a": jnp.asarray(r.rand(batch, hw, hw, 3).astype(np.float32)),
+            "img_b": jnp.asarray(r.rand(batch, hw, hw, 3).astype(np.float32)),
+            "bg0": jnp.asarray(bg),
+            "bg1": jnp.asarray(bg.copy()),
+            "pixel_ids_a": jnp.asarray(ids),
+            "pixel_ids_b": jnp.asarray(ids),
+            "region_ids_a": jnp.asarray(ids),
+            "region_ids_b": jnp.asarray(ids),
+        }
+    else:
+        raw = {
+            "fg": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
+            "bg0": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
+            "bg1": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
+        }
 
     jitted = jax.jit(step_fn, donate_argnums=0)
     for i in range(warmup):
@@ -96,8 +124,9 @@ def main():
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = jitted(state, raw, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(jax.device_get(metrics["loss"]))  # hard host sync
     dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "NaN loss in benchmark"
 
     ips = batch * steps / dt
     n_chips = max(jax.device_count(), 1)

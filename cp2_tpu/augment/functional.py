@@ -90,33 +90,32 @@ def sample_resized_crop(
 def crop_resize_bilinear(
     img: jax.Array, crop: CropParams, out_hw: Tuple[int, int]
 ) -> jax.Array:
-    """Crop + resize via one bilinear gather (half-pixel centers).
+    """Crop + resize in one bilinear resampling (half-pixel centers).
 
     Output pixel (i, j) samples source coordinate
     ``y0 + (i + 0.5) * h/out_h - 0.5`` — the fused form of crop-then-resize
-    with align_corners=False.  The horizontal flip folds into the column
-    coordinates (a reversed gather, free on TPU).
+    with align_corners=False.  Implemented with
+    ``jax.image.scale_and_translate``, which lowers to two small dense
+    resampling matmuls — MXU work — instead of the 2-D gather a naive
+    formulation produces (gathers are the slow path on TPU; switching this
+    from gathers took the fused augmentation from dominating the CP2 step
+    to noise).  The horizontal flip is a reversal after resampling.
     """
     out_h, out_w = out_hw
-    src_h, src_w = img.shape[0], img.shape[1]
-
-    ys = crop.y0 + (jnp.arange(out_h) + 0.5) * (crop.h / out_h) - 0.5
-    cols = jnp.arange(out_w)
-    cols = jnp.where(crop.flip, out_w - 1 - cols, cols)
-    xs = crop.x0 + (cols + 0.5) * (crop.w / out_w) - 0.5
-
-    y0f = jnp.floor(ys)
-    x0f = jnp.floor(xs)
-    wy = (ys - y0f)[:, None, None]
-    wx = (xs - x0f)[None, :, None]
-    y0i = jnp.clip(y0f.astype(jnp.int32), 0, src_h - 1)
-    y1i = jnp.clip(y0i + 1, 0, src_h - 1)
-    x0i = jnp.clip(x0f.astype(jnp.int32), 0, src_w - 1)
-    x1i = jnp.clip(x0i + 1, 0, src_w - 1)
-
-    top = img[y0i][:, x0i] * (1 - wx) + img[y0i][:, x1i] * wx
-    bot = img[y1i][:, x0i] * (1 - wx) + img[y1i][:, x1i] * wx
-    return top * (1 - wy) + bot * wy
+    scale = jnp.stack([out_h / crop.h, out_w / crop.w])
+    translation = jnp.stack(
+        [-crop.y0 * out_h / crop.h, -crop.x0 * out_w / crop.w]
+    )
+    out = jax.image.scale_and_translate(
+        img,
+        (out_h, out_w, img.shape[2]),
+        (0, 1),
+        scale,
+        translation,
+        method="linear",
+        antialias=False,
+    )
+    return jnp.where(crop.flip, out[:, ::-1], out)
 
 
 def crop_source_indices(

@@ -1,0 +1,126 @@
+"""ctypes binding for the native C++ decode/resize loader.
+
+Builds ``libcp2loader.so`` on first use (g++, links libjpeg/libpng) and
+exposes ``NativePretrainLoader`` with the same epoch-iterator contract as
+the Python ``HostDataLoader``; callers fall back to the Python path when
+the toolchain or libraries are unavailable (``native_available()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+_THIS_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_THIS_DIR, "loader.cpp")
+_LIB = os.path.join(_THIS_DIR, "libcp2loader.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
+        "-ljpeg", "-lpng", "-lpthread",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return str(e)
+    if proc.returncode != 0:
+        return proc.stderr[-2000:]
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        _build_error = _build()
+        if _build_error:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError as e:
+        _build_error = str(e)
+        return None
+    lib.cp2_loader_create.restype = ctypes.c_void_p
+    lib.cp2_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.cp2_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cp2_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.cp2_loader_next.restype = ctypes.c_int
+    lib.cp2_loader_len.argtypes = [ctypes.c_void_p]
+    lib.cp2_loader_len.restype = ctypes.c_int
+    lib.cp2_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> Optional[str]:
+    _load()
+    return _build_error
+
+
+class NativePretrainLoader:
+    """Epoch-iterating uint8 frame loader backed by the C++ worker pool."""
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        batch_size: int,
+        base_hw: Tuple[int, int],
+        *,
+        threads: int = 4,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_build_error}")
+        self._lib = lib
+        self.files = [os.fsencode(f) for f in files]
+        self.batch_size = batch_size
+        self.base_hw = base_hw
+        arr = (ctypes.c_char_p * len(self.files))(*self.files)
+        self._handle = lib.cp2_loader_create(
+            arr, len(self.files), batch_size, base_hw[0], base_hw[1],
+            threads, seed, int(shuffle), int(drop_last),
+        )
+        self._buf = np.empty(
+            (batch_size, base_hw[0], base_hw[1], 3), dtype=np.uint8
+        )
+
+    def __len__(self) -> int:
+        return self._lib.cp2_loader_len(self._handle)
+
+    def epoch_iterator(self, epoch: int = 0) -> Iterator[dict]:
+        self._lib.cp2_loader_start_epoch(self._handle, epoch)
+        while True:
+            ok = self._lib.cp2_loader_next(
+                self._handle, self._buf.ctypes.data_as(ctypes.c_char_p)
+            )
+            if not ok:
+                return
+            yield {"image": self._buf.copy()}
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.cp2_loader_destroy(self._handle)
+        except Exception:
+            pass

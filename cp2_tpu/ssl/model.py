@@ -52,6 +52,8 @@ class SSLEncoder(nn.Module):
         if self.backbone_type == BackboneType.DEEPLABV3:
             cfg = dict(self.model_cfg)
             cfg.pop("type", None)
+            cfg.pop("dtype", None)
+            cfg.pop("axis_name", None)
             self.encoder = EncoderDecoder(
                 **cfg, dtype=self.dtype, axis_name=self.axis_name
             )

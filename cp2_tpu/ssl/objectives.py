@@ -98,30 +98,43 @@ def cp2_objective(
     # correspondence maps + weights (builder.py:1204-1243).  Under
     # MappingType.CP2 region ids ARE the pixel ids (loader.py:84-85), so the
     # second correspondence computation is shared instead of recomputed.
-    pixel_corr = get_masked_correlation_map(
-        pixel_ids_a.astype(jnp.float32), pixel_ids_b.astype(jnp.float32),
-        mask_a, mask_b,
+    # With unit weights (the CP2 default) the weight mask is exactly 1
+    # everywhere, so when correspondence metrics aren't requested the whole
+    # computation is elided.
+    unit_weights = (
+        hp.lmbd_pixel_corr_weight == 1
+        and hp.lmbd_region_corr_weight == 1
+        and hp.lmbd_not_corr_weight == 1
     )
-    if hp.mapping_type == MappingType.CP2:
-        region_corr = pixel_corr
-    else:
-        region_corr = get_masked_correlation_map(
-            region_ids_a.astype(jnp.float32), region_ids_b.astype(jnp.float32),
+    need_corr = (not unit_weights) or metrics_level >= 1
+    pixel_corr = region_corr = None
+    corr_weights = None
+    if need_corr:
+        pixel_corr = get_masked_correlation_map(
+            pixel_ids_a.astype(jnp.float32), pixel_ids_b.astype(jnp.float32),
             mask_a, mask_b,
         )
-    region_map = region_corr["corr_map"]
-    # id 0 marks unknown regions in SAM maps — exclude those pairs
-    known = (
-        region_ids_a.reshape(n, -1)[:, :, None]
-        * region_ids_b.reshape(n, -1)[:, None, :]
-    ).astype(bool)
-    region_map = region_map & known
+        if hp.mapping_type == MappingType.CP2:
+            region_corr = pixel_corr
+        else:
+            region_corr = get_masked_correlation_map(
+                region_ids_a.astype(jnp.float32), region_ids_b.astype(jnp.float32),
+                mask_a, mask_b,
+            )
+    if not unit_weights:
+        region_map = region_corr["corr_map"]
+        # id 0 marks unknown regions in SAM maps — exclude those pairs
+        known = (
+            region_ids_a.reshape(n, -1)[:, :, None]
+            * region_ids_b.reshape(n, -1)[:, None, :]
+        ).astype(bool)
+        region_map = region_map & known
 
-    corr_weights = hp.lmbd_region_corr_weight * region_map.astype(jnp.float32)
-    corr_weights = jnp.where(
-        pixel_corr["corr_map"], hp.lmbd_pixel_corr_weight, corr_weights
-    )
-    corr_weights = corr_weights + (corr_weights == 0) * hp.lmbd_not_corr_weight
+        corr_weights = hp.lmbd_region_corr_weight * region_map.astype(jnp.float32)
+        corr_weights = jnp.where(
+            pixel_corr["corr_map"], hp.lmbd_pixel_corr_weight, corr_weights
+        )
+        corr_weights = corr_weights + (corr_weights == 0) * hp.lmbd_not_corr_weight
 
     flat_mask_a = mask_a.reshape(n, -1)
     flat_mask_b = mask_b.reshape(n, -1)
@@ -175,7 +188,8 @@ def cp2_objective(
         negative_average=None if stats is None else stats["negative"]["average"],
         negative_median=None if stats is None else stats["negative"]["quartiles"][1],
     )
-    logits_dense = logits_dense * corr_weights
+    if corr_weights is not None:
+        logits_dense = logits_dense * corr_weights
 
     # instance (MoCo) logits against the queue (builder.py:1394-1423)
     l_pos, l_neg = moco_logits(q_pos, k_pos, queue)
@@ -205,10 +219,11 @@ def cp2_objective(
                 "train/acc_seg_step": acc_dense,
                 "train/cross_image_variance_source_step": jnp.std(q_pos, axis=0).mean(),
                 "train/cross_image_variance_target_step": jnp.std(k_pos, axis=0).mean(),
-                "step/average_iou": region_corr["iou"].mean(),
-                "step/average_masked_iou": region_corr["iou_masked"].mean(),
             }
         )
+        if region_corr is not None:
+            metrics["step/average_iou"] = region_corr["iou"].mean()
+            metrics["step/average_masked_iou"] = region_corr["iou_masked"].mean()
         if stats is not None:
             metrics.update(_dense_stat_metrics(stats))
             metrics.update(_instance_stat_metrics(l_pos, l_neg))
@@ -217,8 +232,8 @@ def cp2_objective(
         "mutated": q_mutated,
         "enqueue": {"queue": k_pos},
         "metrics": metrics,
-        "ious": region_corr["iou"],
-        "ious_masked": region_corr["iou_masked"],
+        "ious": None if region_corr is None else region_corr["iou"],
+        "ious_masked": None if region_corr is None else region_corr["iou_masked"],
     }
     return loss, aux
 

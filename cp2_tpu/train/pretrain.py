@@ -112,6 +112,10 @@ def get_args(argv=None):
                         help='local torchvision resnet50 checkpoint for ImageNet init')
     parser.add_argument('--bf16', action='store_true', default=True)
     parser.add_argument('--no-bf16', dest='bf16', action='store_false')
+    parser.add_argument('--native_loader', action='store_true', default=True,
+                        help='use the C++ decode worker pool when available')
+    parser.add_argument('--no-native_loader', dest='native_loader',
+                        action='store_false')
     # fmt: on
 
     args = parser.parse_args(argv)
@@ -214,6 +218,19 @@ def main(args):
     source = PretrainDataSource(files, base_hw, with_region_maps=need_region)
 
     def make_loader(seed):
+        # prefer the native C++ decode pool when usable (no SAM region maps
+        # needed and the toolchain is present); else the Python loader
+        if not need_region and args.native_loader:
+            try:
+                from cp2_tpu.native import NativePretrainLoader, native_available
+
+                if native_available():
+                    return NativePretrainLoader(
+                        files, args.batch_size, base_hw,
+                        threads=max(args.num_workers, 1), seed=seed,
+                    )
+            except Exception as e:  # fall back silently but log once
+                logger.info(f"native loader unavailable ({e}); using Python loader")
         return HostDataLoader(
             source, args.batch_size, shuffle=True, drop_last=True, seed=seed
         )

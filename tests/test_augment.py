@@ -55,6 +55,31 @@ def test_crop_ids_correspond_to_overlap():
     assert ids_a.max() <= src[0] * src[1]
 
 
+def test_crop_resize_matches_gather_reference():
+    """scale_and_translate formulation == explicit bilinear gather."""
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.rand(40, 48, 3).astype(np.float32))
+    crop = F.CropParams(
+        y0=jnp.float32(5.3), x0=jnp.float32(7.9),
+        h=jnp.float32(20.4), w=jnp.float32(24.7), flip=jnp.asarray(True),
+    )
+    out = np.asarray(F.crop_resize_bilinear(img, crop, (16, 16)))
+
+    # reference: direct gather interpolation at src = y0 + (i+.5)*h/o - .5
+    ys = 5.3 + (np.arange(16) + 0.5) * (20.4 / 16) - 0.5
+    cols = 16 - 1 - np.arange(16)  # flip
+    xs = 7.9 + (cols + 0.5) * (24.7 / 16) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    wy, wx = (ys - y0f)[:, None, None], (xs - x0f)[None, :, None]
+    y0i = np.clip(y0f.astype(int), 0, 39); y1i = np.clip(y0i + 1, 0, 39)
+    x0i = np.clip(x0f.astype(int), 0, 47); x1i = np.clip(x0i + 1, 0, 47)
+    a = np.asarray(img)
+    top = a[y0i][:, x0i] * (1 - wx) + a[y0i][:, x1i] * wx
+    bot = a[y1i][:, x0i] * (1 - wx) + a[y1i][:, x1i] * wx
+    ref = top * (1 - wy) + bot * wy
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_random_erase_zeroes_one_rect():
     img = jnp.ones((32, 32, 3))
     out = np.asarray(F.random_erase(jax.random.PRNGKey(0), img, (0.3, 0.5), (0.8, 1.25)))

@@ -1,0 +1,156 @@
+"""Data layer: splits, loaders (python + native), mmseg pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cp2_tpu.data.datasets import (
+    get_data_splits,
+    get_pretrain_files,
+    list_image_mask_pairs,
+    pseudo_test_subset,
+)
+from cp2_tpu.types import DatasetType, DataSplitType
+
+
+@pytest.fixture(scope="module")
+def seg_tree(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("segdata")
+    img_dir = root / "images"
+    mask_dir = root / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    r = np.random.RandomState(0)
+    for split, count in (("train", 8), ("val", 3), ("test", 5)):
+        for i in range(count):
+            name = f"{split}{i:02d}_{split}.png"
+            Image.fromarray((r.rand(40, 50, 3) * 255).astype(np.uint8)).save(
+                img_dir / name
+            )
+            Image.fromarray((r.rand(40, 50) > 0.5).astype(np.uint8) * 255).save(
+                mask_dir / name
+            )
+    return str(img_dir), str(mask_dir)
+
+
+def test_filename_splits_partition(seg_tree):
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    splits = get_data_splits(pairs, DataSplitType.FILENAME, 1.0)
+    assert len(splits["train"]) == 8
+    assert len(splits["val"]) == 3
+    assert len(splits["test"]) == 5
+
+
+def test_random_splits_deterministic(seg_tree):
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    a = get_data_splits(pairs, DataSplitType.RANDOM, 1.0)
+    b = get_data_splits(pairs, DataSplitType.RANDOM, 1.0)
+    assert a["train"] == b["train"] and a["test"] == b["test"]
+    # ratio subsampling shrinks train deterministically
+    c = get_data_splits(pairs, DataSplitType.RANDOM, 0.5)
+    assert len(c["train"]) == len(a["train"]) // 2
+    assert set(c["train"]) <= set(a["train"])
+
+
+def test_pseudo_test_subset_divisible(seg_tree):
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    subset = pseudo_test_subset(pairs, batch_size=2, num_devices=2)
+    assert len(subset) % 4 == 0
+    assert set(subset) <= set(pairs)
+
+
+def test_host_loader_shards_and_reshuffles(seg_tree):
+    from cp2_tpu.data import HostDataLoader, SegmentationDataSource
+
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    src = SegmentationDataSource(pairs, image_size=32, num_classes=2)
+    loader = HostDataLoader(src, batch_size=4, seed=0)
+    batches0 = list(loader.epoch_iterator(0))
+    batches1 = list(loader.epoch_iterator(1))
+    assert len(batches0) == len(loader) == 4
+    assert batches0[0]["image"].shape == (4, 32, 32, 3)
+    assert batches0[0]["mask"].dtype == np.int32
+    assert set(np.unique(batches0[0]["mask"])) <= {0, 1}
+    # different epoch -> different order (almost surely)
+    assert not np.array_equal(batches0[0]["image"], batches1[0]["image"])
+
+    # sharding partitions indices
+    l0 = HostDataLoader(src, batch_size=2, seed=0, shard=(0, 2))
+    l1 = HostDataLoader(src, batch_size=2, seed=0, shard=(1, 2))
+    i0 = l0._epoch_indices(0)
+    i1 = l1._epoch_indices(0)
+    assert set(i0).isdisjoint(set(i1))
+
+
+def test_native_loader_matches_python_decode(seg_tree):
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, _ = seg_tree
+    files = sorted(
+        os.path.join(img_dir, f) for f in os.listdir(img_dir)
+    )
+    ld = native.NativePretrainLoader(
+        files, batch_size=4, base_hw=(48, 48), threads=2, shuffle=False
+    )
+    batch = next(ld.epoch_iterator(0))
+    img = batch["image"]
+    assert img.shape == (4, 48, 48, 3)
+    # compare against PIL decode+resize of the first file (tolerant: both
+    # bilinear half-pixel, small rounding differences allowed)
+    from PIL import Image
+
+    ref = Image.open(files[0]).convert("RGB").resize((48, 48), Image.BILINEAR)
+    diff = np.abs(img[0].astype(int) - np.asarray(ref, int))
+    assert diff.mean() < 3.0
+
+
+def test_mmseg_pipeline_end_to_end(seg_tree, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from cp2_tpu.data.custom import CustomDataset
+
+    img_dir, mask_dir = seg_tree
+    # class-index masks (values {0,1}; 255 would be ignore_index in mmseg)
+    from PIL import Image as PILImage
+
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    for name in os.listdir(mask_dir):
+        m = np.asarray(PILImage.open(os.path.join(mask_dir, name)))
+        PILImage.fromarray((m > 0).astype(np.uint8)).save(ann_dir / name)
+    mask_dir = str(ann_dir)
+    pipeline = [
+        dict(type="LoadImageFromFile"),
+        dict(type="LoadAnnotations"),
+        dict(type="Resize", img_scale=(64, 48), ratio_range=(0.9, 1.1)),
+        dict(type="RandomFlip", prob=0.5),
+        dict(type="PhotoMetricDistortion"),
+        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375]),
+        dict(type="Pad", size=(64, 64)),
+        dict(type="DefaultFormatBundle"),
+        dict(type="Collect", keys=["img", "gt_semantic_seg"]),
+    ]
+    ds = CustomDataset(
+        pipeline, img_dir=img_dir, img_suffix=".png",
+        ann_dir=mask_dir, seg_map_suffix=".png",
+        classes=("bg", "fg"),
+    )
+    assert len(ds) == 16
+    sample = ds[0]
+    assert sample["img"].shape == (64, 64, 3)
+    assert sample["gt_semantic_seg"].shape == (64, 64)
+    assert sample["img_metas"]["filename"].endswith(".png")
+
+    # evaluate on perfect predictions -> mIoU 1 over present classes
+    gts = [np.asarray((g > 0).astype(np.int64)) for g in ds.get_gt_seg_maps()]
+    out = ds.evaluate(gts, metric=["mIoU", "mDice"])
+    assert out["mIoU"] == pytest.approx(1.0)
+    assert out["mDice"] == pytest.approx(1.0)
