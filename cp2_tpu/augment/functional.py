@@ -205,15 +205,25 @@ def _rgb_to_hsv(rgb):
 
 
 def _hsv_to_rgb(h, s, v):
+    # sextant dispatch as elementwise selects — NOT jnp.choose, whose
+    # gather lowering dominated the whole train step on TPU (90% of device
+    # time went to vmapped gathers before this was select-ified)
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     p = v * (1.0 - s)
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    def pick(options):
+        out = options[-1]
+        for idx in range(4, -1, -1):
+            out = jnp.where(i == idx, options[idx], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 

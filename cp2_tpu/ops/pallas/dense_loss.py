@@ -55,9 +55,13 @@ def dense_pair_loss_reference(
 
 
 def _fwd_kernel(q_ref, k_ref, a_ref, b_ref, loss_ref, *, temperature, block_y):
-    """One sample: accumulate Σ_y b_y(A·lse_y − s_y) over key tiles."""
+    """One sample: accumulate Σ_y b_y(A·lse_y − s_y) over key tiles.
+
+    Masks arrive as (1, 1, S2) blocks and the loss leaves through SMEM —
+    layouts chosen to satisfy the TPU (8, 128) tiling rules for any batch.
+    """
     q = q_ref[0].astype(jnp.float32)  # (S2, C)
-    a = a_ref[0].astype(jnp.float32)  # (S2,)
+    a = a_ref[0, 0].astype(jnp.float32)  # (S2,)
     a2d = a[:, None]
     s2 = q.shape[0]
     inv_t = 1.0 / temperature
@@ -71,7 +75,7 @@ def _fwd_kernel(q_ref, k_ref, a_ref, b_ref, loss_ref, *, temperature, block_y):
     def body(t, carry):
         total, bsum = carry
         kt = k_ref[0, pl.ds(t * block_y, block_y), :].astype(jnp.float32)
-        bt = b_ref[0, pl.ds(t * block_y, block_y)].astype(jnp.float32)
+        bt = b_ref[0, 0, pl.ds(t * block_y, block_y)].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, kt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -84,29 +88,31 @@ def _fwd_kernel(q_ref, k_ref, a_ref, b_ref, loss_ref, *, temperature, block_y):
         return total, bsum
 
     total, bsum = jax.lax.fori_loop(0, num_tiles, body, (total, bsum))
-    loss_ref[0] = total / jnp.maximum(asum * bsum, 1e-12)
+    # vector store (scalar stores to VMEM are not lowerable); host reads lane 0
+    loss_ref[0, 0, :] = jnp.full((128,), total / jnp.maximum(asum * bsum, 1e-12),
+                                 jnp.float32)
 
 
 def _bwd_kernel(q_ref, k_ref, a_ref, b_ref, g_ref, dq_ref, dk_ref,
                 *, temperature, block_y):
     """Recompute logits per tile; emit dq, dk for one sample."""
     q = q_ref[0].astype(jnp.float32)
-    a = a_ref[0].astype(jnp.float32)
-    g = g_ref[0]
+    a = a_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0, 0]
     inv_t = 1.0 / temperature
     asum = jnp.sum(a)
 
     num_tiles = k_ref.shape[1] // block_y
 
     # pass 1: B (key-mask total) for the normalizer
-    bsum = jnp.sum(b_ref[0].astype(jnp.float32))
+    bsum = jnp.sum(b_ref[0, 0].astype(jnp.float32))
     scale = g / jnp.maximum(asum * bsum, 1e-12) * inv_t
 
     dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
     def body(t, dq_acc):
         kt = k_ref[0, pl.ds(t * block_y, block_y), :].astype(jnp.float32)
-        bt = b_ref[0, pl.ds(t * block_y, block_y)].astype(jnp.float32)
+        bt = b_ref[0, 0, pl.ds(t * block_y, block_y)].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, kt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -155,14 +161,15 @@ def _call_fwd(q, k, mask_a, mask_b, temperature, interpret, block_y):
             pl.BlockSpec((1, s2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k.shape[1], c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, s2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k.shape[1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
         interpret=interpret,
-    )(q, k, mask_a, mask_b)
+    )(q, k, mask_a[:, None, :], mask_b[:, None, :])
 
 
 def _fwd(q, k, mask_a, mask_b, per_sample_avg, temperature, interpret):
@@ -171,7 +178,7 @@ def _fwd(q, k, mask_a, mask_b, per_sample_avg, temperature, interpret):
     k32 = _pad_to(k.astype(jnp.float32), 1, block_y)
     a32 = mask_a.astype(jnp.float32)
     b32 = _pad_to(mask_b.astype(jnp.float32), 1, block_y)
-    per_sample = _call_fwd(q32, k32, a32, b32, temperature, interpret, block_y)
+    per_sample = _call_fwd(q32, k32, a32, b32, temperature, interpret, block_y)[:, 0, 0]
     loss = jnp.mean(per_sample) if per_sample_avg else jnp.sum(per_sample)
     return loss, (q32, k32, a32, b32)
 
@@ -180,7 +187,9 @@ def _bwd(per_sample_avg, temperature, interpret, residuals, g):
     q32, k32, a32, b32 = residuals
     n, s2, c = q32.shape
     block_y = 128
-    g_per = jnp.broadcast_to(g / n if per_sample_avg else g, (n,)).astype(jnp.float32)
+    g_per = jnp.broadcast_to(
+        g / n if per_sample_avg else g, (n, 1, 128)
+    ).astype(jnp.float32)
     kernel = functools.partial(_bwd_kernel, temperature=temperature, block_y=block_y)
     dq, dk = pl.pallas_call(
         kernel,
@@ -189,10 +198,11 @@ def _bwd(per_sample_avg, temperature, interpret, residuals, g):
             pl.BlockSpec((1, s2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k32.shape[1], c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k32.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, s2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k32.shape[1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, s2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -204,7 +214,7 @@ def _bwd(per_sample_avg, temperature, interpret, residuals, g):
             jax.ShapeDtypeStruct((n, k32.shape[1], c), jnp.float32),
         ],
         interpret=interpret,
-    )(q32, k32, a32, b32, g_per)
+    )(q32, k32, a32[:, None, :], b32[:, None, :], g_per)
     dk = dk[:, : s2, :]
     return dq, dk, None, None
 
@@ -222,12 +232,16 @@ def dense_pair_loss(
     mask_b: jax.Array,
     temperature: float = 1.0,
     *,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash-style CP2 dense loss: mean over samples, no (S²,S²) in HBM.
 
     Equivalent to ``dense_pair_loss_reference`` (and to the reference's
     logits/labels formulation) when correspondence weights are all one —
     the CP2 default.  Gradients flow to ``q`` and ``k``.
+    ``interpret`` defaults to True off-TPU (Pallas interpreter), False on
+    TPU (compiled Mosaic kernel).
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     return _dense_pair_loss(q, k, mask_a, mask_b, True, temperature, interpret)

@@ -7,6 +7,13 @@ from cp2_tpu.parallel.mesh import (
     shard_batch,
     shard_pytree,
 )
+from cp2_tpu.parallel.collectives import (
+    barrier,
+    concat_all_gather,
+    initialize,
+    pmean_gradients,
+    psum_metrics,
+)
 
 __all__ = [
     "create_mesh",
@@ -14,4 +21,9 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "shard_pytree",
+    "barrier",
+    "concat_all_gather",
+    "initialize",
+    "pmean_gradients",
+    "psum_metrics",
 ]
