@@ -19,30 +19,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cp2_tpu.models.layers import ConvModule, ConvMLP
+from cp2_tpu.models.layers import ConvMLP
 from cp2_tpu.models.registry import BACKBONES
 from cp2_tpu.models.resnet import ResNet
+from cp2_tpu.models.utils import UpConvBlock
 
 Dtype = Any
 
 DECODER_CHANNELS = (256, 128, 64, 32, 16)
-
-
-class UNetDecoderBlock(nn.Module):
-    features: int
-    norm_cfg: Optional[dict] = None
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, skip=None, *, train: bool = True):
-        n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
-        if skip is not None:
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        kw = dict(norm_cfg=self.norm_cfg, dtype=self.dtype)
-        x = ConvModule(self.features, 3, name="conv1", **kw)(x, train=train)
-        x = ConvModule(self.features, 3, name="conv2", **kw)(x, train=train)
-        return x
 
 
 @BACKBONES.register
@@ -92,7 +76,7 @@ class UNetTruncated(nn.Module):
         skips = [feats[2], feats[1], feats[0], None, None]
         y = feats[-1]
         for i in range(self.num_decoder_blocks):
-            y = UNetDecoderBlock(
+            y = UpConvBlock(
                 DECODER_CHANNELS[i],
                 norm_cfg=self.norm_cfg or {"type": "BN"},
                 dtype=self.dtype,
