@@ -28,10 +28,6 @@ from cp2_tpu.models.registry import HEADS
 Dtype = Any
 
 
-class _HeadBase(nn.Module):
-    """Shared fields for decode heads (mirrors BaseDecodeHead's surface)."""
-
-
 def _select_input(inputs, in_index):
     if isinstance(inputs, (tuple, list)):
         return inputs[in_index]

@@ -226,6 +226,13 @@ def main(args):
         return result
 
     # ---------------- loop ----------------
+    profiler_ctx = None
+    if args.use_profiler:
+        from cp2_tpu.utils.profiling import trace as profiler_trace
+
+        profiler_ctx = profiler_trace(os.path.join(run_dir, "profile"))
+        profiler_ctx.__enter__()
+
     best_iou = -1.0
     best_path = None
     monitor = (
@@ -262,12 +269,22 @@ def main(args):
 
             if val_metrics.get(monitor, -1.0) > best_iou:
                 best_iou = val_metrics[monitor]
+                prev_best = best_path
                 best_path = save_checkpoint(
                     run_dir, step, jax.device_get(state),
                     meta={"epoch": epoch, monitor: best_iou,
                           "pretrain_type": args.pretrain_type.name},
                 )
                 logger.info(f"new best {monitor}={best_iou:.4f} -> {best_path}")
+                if prev_best and prev_best != best_path:
+                    # save_top_k=1 parity (reference finetune.py:165-171)
+                    import shutil
+
+                    shutil.rmtree(prev_best, ignore_errors=True)
+            if profiler_ctx is not None and epoch == 0:
+                profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
+                logger.info(f"profile written to {run_dir}/profile")
             if args.fast_dev_run:
                 break
 
