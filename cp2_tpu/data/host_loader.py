@@ -174,18 +174,21 @@ class HostDataLoader:
         stop = threading.Event()
 
         def worker():
-            for b in range(nbatches):
-                if stop.is_set():
-                    return
-                rows = [
-                    self.source.load(i)
-                    for i in idx[b * self.batch_size : (b + 1) * self.batch_size]
-                ]
-                batch = {
-                    k: np.stack([r[k] for r in rows]) for k in rows[0]
-                }
-                q.put(batch)
-            q.put(None)
+            try:
+                for b in range(nbatches):
+                    if stop.is_set():
+                        return
+                    rows = [
+                        self.source.load(i)
+                        for i in idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    ]
+                    batch = {
+                        k: np.stack([r[k] for r in rows]) for k in rows[0]
+                    }
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:  # surface decode errors, don't hang
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -194,6 +197,8 @@ class HostDataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

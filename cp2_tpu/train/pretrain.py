@@ -260,14 +260,25 @@ def main(args):
     def augment_fn(rng, raw):
         return pretrain_batch_augment(rng, raw, aug_cfg)
 
+    os_ = output_stride_of(model_cfg)
+    bos = backbone_output_stride_of(
+        model_cfg, args.backbone_type, hp.unet_truncated_dec_blocks
+    )
+    # two compiled variants: the quiet step runs most iterations; the
+    # metrics step (full reference scalar families — quantiles etc., ~17%
+    # slower) runs only on logging steps.  The reference computes metrics
+    # every step; logged values are identical.
     step_fn = make_pretrain_step(
-        model, tx, hp,
-        output_stride_of(model_cfg),
-        backbone_output_stride_of(
-            model_cfg, args.backbone_type, hp.unet_truncated_dec_blocks
-        ),
-        metrics_level=args.metrics_level,
-        augment_fn=augment_fn,
+        model, tx, hp, os_, bos,
+        metrics_level=0, augment_fn=augment_fn,
+    )
+    step_fn_metrics = (
+        make_pretrain_step(
+            model, tx, hp, os_, bos,
+            metrics_level=args.metrics_level, augment_fn=augment_fn,
+        )
+        if args.metrics_level > 0
+        else step_fn
     )
 
     sample = jnp.zeros((args.batch_size, *hw, 3), jnp.float32)
@@ -293,6 +304,7 @@ def main(args):
     logger.info(f"mesh: {mesh}")
     state = shard_pytree(state, mesh)
     jitted = jax.jit(step_fn, donate_argnums=0)
+    jitted_metrics = jax.jit(step_fn_metrics, donate_argnums=0)
 
     step = int(state.step)
     with mesh:
@@ -320,7 +332,9 @@ def main(args):
                 if need_region:
                     raw["region_maps"] = fg["region_map"]
                 raw = shard_batch(raw, mesh)
-                state, metrics = jitted(
+                log_now = i % args.scalar_freq == 0 and args.metrics_level > 0
+                run = jitted_metrics if log_now else jitted
+                state, metrics = run(
                     state, raw, jax.random.fold_in(root_key, step)
                 )
                 if i % args.print_freq == 0:
