@@ -34,6 +34,20 @@ def backbone_output_stride_of(model_cfg: dict, backbone_type: BackboneType,
     return 4 * int(math.prod(strides))
 
 
+def dense_output_stride_of(model_cfg: dict, backbone_type: BackboneType,
+                           unet_truncated_dec_blocks: int = 2) -> int:
+    """Output stride of the SSLEncoder 'dense' path for any backbone type.
+
+    For DEEPLABV3 the head preserves the backbone grid; the U-Net variants
+    set their own (reference probes this at runtime, builder.py:392-402).
+    """
+    if backbone_type == BackboneType.DEEPLABV3:
+        strides = model_cfg["backbone"].get("strides", (1, 2, 2, 2))
+        return 4 * int(math.prod(strides))
+    return backbone_output_stride_of(model_cfg, backbone_type,
+                                     unet_truncated_dec_blocks)
+
+
 def make_pretrain_step(
     model,
     tx: optax.GradientTransformation,

@@ -260,7 +260,11 @@ def main(args):
     def augment_fn(rng, raw):
         return pretrain_batch_augment(rng, raw, aug_cfg)
 
-    os_ = output_stride_of(model_cfg)
+    from cp2_tpu.ssl.train_step import dense_output_stride_of
+
+    os_ = dense_output_stride_of(
+        model_cfg, args.backbone_type, hp.unet_truncated_dec_blocks
+    )
     bos = backbone_output_stride_of(
         model_cfg, args.backbone_type, hp.unet_truncated_dec_blocks
     )

@@ -142,6 +142,31 @@ def test_pretrain_step_runs(variant):
     assert float(metrics2["loss"]) != float(metrics["loss"])
 
 
+@pytest.mark.slow
+def test_proposed_v2_symmetric_coordinate_step():
+    """The sym-coord ablation bundle: PROPOSED_V2 + symmetric loss +
+    predictor heads + coordinate-blended positives (scripts/sym-coord.sh)."""
+    model, state, step, batch = _make_everything(
+        PretrainType.PROPOSED_V2,
+        momentum=0.999,
+        lmbd_cp2_dense_loss=0.5,
+        instance_logits_temp=0.2,
+        dense_logits_temp=0.2,
+        use_symmetrical_loss=True,
+        use_predictor=True,
+        lmbd_coordinate=0.5,
+    )
+    state1, metrics = step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    # both queues update in the DenseCL family
+    assert int(state1.queue_ptr) == BATCH
+    assert int(state1.queue2_ptr) == BATCH
+    assert float(metrics["step/matching_positives_rate"]) >= -1.0
+    # step parity flips the enqueued key set; second step still finite
+    state2, metrics2 = step(state1, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(metrics2["loss"]))
+
+
 def test_hparam_validation_web():
     from cp2_tpu.types import MappingType, NegativeType
 
@@ -164,6 +189,39 @@ def test_hparam_validation_web():
     # queue capping
     hp = SSLHyperParams.for_variant(PretrainType.CP2, dataset_size=100, cap_queue=True)
     assert hp.queue_len == 100
+
+
+@pytest.mark.slow
+def test_cp2_unet_truncated_backbone():
+    """CP2 over the truncated-U-Net backbone (OS=8, reference builder.py:76-111)."""
+    from cp2_tpu.ssl.train_step import dense_output_stride_of
+
+    hp = SSLHyperParams.for_variant(
+        PretrainType.CP2, dim=DIM, queue_len=64,
+        backbone_type=BackboneType.UNET_TRUNCATED,
+    )
+    model = SSLEncoder(
+        model_cfg=TINY_MODEL,  # ignored by the U-Net path
+        pretrain_type=PretrainType.CP2,
+        backbone_type=BackboneType.UNET_TRUNCATED,
+        dim=DIM,
+        unet_truncated_dec_blocks=2,
+    )
+    os_ = dense_output_stride_of(TINY_MODEL, BackboneType.UNET_TRUNCATED, 2)
+    assert os_ == 8
+    batch = _tiny_batch(0)
+    tx = make_optimizer("sgd", 0.05)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, tx, hp, batch["img_a"],
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    step = jax.jit(make_pretrain_step(
+        model, tx, hp, os_,
+        backbone_output_stride_of(TINY_MODEL, BackboneType.UNET_TRUNCATED, 2),
+        metrics_level=0,
+    ))
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_queue_wraparound():
