@@ -138,6 +138,46 @@ class SelfAttentionBlock(nn.Module):
         )
 
 
+class Encoding(nn.Module):
+    """Learned residual encoding layer (mmseg_/ops/encoding.py:6-72).
+
+    Aggregates pixel features against K learned codewords with learned
+    smoothing — softmax-weighted residual sums, all batched matmuls.
+    """
+
+    channels: int
+    num_codes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.shape[0]
+        feats = x.reshape(n, -1, self.channels).astype(self.dtype)  # (N, P, C)
+        std = 1.0 / ((self.num_codes * self.channels) ** 0.5)
+        codewords = self.param(
+            "codewords",
+            lambda key, shape: jax.random.uniform(key, shape, minval=-std, maxval=std),
+            (self.num_codes, self.channels),
+        )
+        # smoothing factors init U(-1, 0) (mmseg encoding.py semantics)
+        scale = self.param(
+            "scale",
+            lambda key, shape: jax.random.uniform(key, shape, minval=-1.0, maxval=0.0),
+            (self.num_codes,),
+        )
+        # residuals (N, P, K, C) realized as two matmul-shaped reductions
+        dots = jnp.einsum("npc,kc->npk", feats, codewords)
+        f_sq = jnp.sum(feats**2, axis=-1, keepdims=True)        # (N, P, 1)
+        c_sq = jnp.sum(codewords**2, axis=-1)[None, None, :]    # (1, 1, K)
+        dist = f_sq - 2.0 * dots + c_sq
+        assign = jax.nn.softmax(scale[None, None, :] * dist, axis=2)
+        # encoded[k] = sum_p a[p,k] * (x[p] - c[k])
+        enc = jnp.einsum("npk,npc->nkc", assign, feats) - (
+            jnp.sum(assign, axis=1)[..., None] * codewords[None]
+        )
+        return enc
+
+
 class UpConvBlock(nn.Module):
     """Upsample + skip-concat + double conv (reference utils/up_conv_block.py);
     the building block of U-Net decoders (see also models/unet.py)."""

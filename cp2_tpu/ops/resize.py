@@ -42,6 +42,36 @@ def nearest_exact_resize(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return x[..., rows[:, None], cols[None, :]]
 
 
+def resize(x: jax.Array, size: tuple[int, int] | None = None,
+           scale_factor: float | None = None, mode: str = "bilinear",
+           align_corners: bool = False) -> jax.Array:
+    """mmseg's ``resize`` wrapper surface (mmseg_/ops/wrappers.py:7-27).
+
+    align_corners=True maps to jax's non-half-pixel variants; the wrapper
+    exists for API parity — prefer :func:`resize_bilinear` /
+    :func:`nearest_exact_resize` directly.
+    """
+    if size is None:
+        size = (int(x.shape[1] * scale_factor), int(x.shape[2] * scale_factor))
+    if mode in ("bilinear", "linear"):
+        if align_corners:
+            n, _, _, c = x.shape
+            return jax.image.resize(x, (n, *size, c), method="triangle")
+        return resize_bilinear(x, size)
+    if mode == "nearest":
+        return nearest_exact_resize(
+            jnp.moveaxis(x, -1, 1), size
+        ).transpose(0, 2, 3, 1) if x.ndim == 4 else nearest_exact_resize(x, size)
+    raise ValueError(mode)
+
+
+def upsample(x: jax.Array, scale_factor: int = 2, mode: str = "nearest") -> jax.Array:
+    """mmseg ``Upsample`` module equivalent (wrappers.py:29)."""
+    n, h, w, c = x.shape
+    method = "nearest" if mode == "nearest" else "linear"
+    return jax.image.resize(x, (n, h * scale_factor, w * scale_factor, c), method)
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear resize (align_corners=False) of NHWC tensors.
 

@@ -163,11 +163,15 @@ def main(args):
     run_dir = os.path.join(args.log_dir, args.run_id)
     os.makedirs(run_dir, exist_ok=True)
     logger = setup_logger("pretrain", run_dir)
+    from cp2_tpu.utils.logging import collect_env
+
     metrics_sink = MetricLogger(
         args.log_dir, args.run_id,
         use_wandb=args.use_wandb, wandb_project=args.wandb_project,
         wandb_team=args.wandb_team, offline=args.offline_wandb,
-        config={"hyper-parameters": vars(args)}, tags=["pretrain"] + args.tags,
+        # env capture parity with the reference's nvidia-smi dump (main.py:355)
+        config={"hyper-parameters": vars(args), "env": collect_env()},
+        tags=["pretrain"] + args.tags,
     )
 
     config_path = args.config or os.path.join(
@@ -319,7 +323,11 @@ def main(args):
                 steps_per_epoch, [batch_time, loss_meter], logger,
                 prefix=f"Epoch: [{epoch}]",
             )
-            metrics_sink.log({"epoch": epoch, "update-step": step}, step=step)
+            current_lr = args.lr if args.remove_lr_scheduler else float(lr(step))
+            metrics_sink.log(
+                {"epoch": epoch, "update-step": step, "learning_rate": current_lr},
+                step=step,
+            )
             end = time.time()
             iters = zip(
                 loader_fg.epoch_iterator(epoch),

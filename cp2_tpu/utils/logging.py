@@ -76,6 +76,34 @@ def setup_logger(name: str, log_dir: Optional[str] = None, *, to_console: bool =
     return logger
 
 
+def collect_env() -> Dict[str, str]:
+    """Environment report (mmseg_/utils/collect_env.py parity, TPU-flavored)."""
+    import platform
+    import sys
+
+    info = {
+        "sys.platform": sys.platform,
+        "Python": sys.version.replace("\n", ""),
+        "machine": platform.machine(),
+    }
+    try:
+        import jax
+
+        info["JAX"] = jax.__version__
+        info["jax.devices"] = ", ".join(str(d) for d in jax.devices())
+        info["default_backend"] = jax.default_backend()
+    except Exception as e:  # pragma: no cover
+        info["JAX"] = f"unavailable ({e})"
+    try:
+        import flax, optax  # noqa: F401
+
+        info["flax"] = flax.__version__
+        info["optax"] = optax.__version__
+    except Exception:
+        pass
+    return info
+
+
 class MetricLogger:
     """Scalar sink: JSONL always, wandb when available and requested.
 
