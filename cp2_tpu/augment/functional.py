@@ -14,7 +14,7 @@ computed — they're cheap elementwise ops and this keeps shapes static).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -303,6 +303,99 @@ def gaussian_blur(
         )
     apply = jax.random.bernoulli(k_p, p)
     return jnp.where(apply, blurred[0], img)
+
+
+def _reflect101(coords: jax.Array, size: int) -> jax.Array:
+    """OpenCV BORDER_REFLECT_101 coordinate folding: ...2 1 | 0 1 2 | 1 0..."""
+    if size == 1:
+        return jnp.zeros_like(coords)
+    period = 2.0 * (size - 1)
+    c = jnp.mod(jnp.abs(coords), period)
+    return jnp.where(c > size - 1, period - c, c)
+
+
+def _grid_axis_coords(
+    steps: jax.Array, size: int, num_steps: int
+) -> jax.Array:
+    """Distorted source coordinate for each output position along one axis.
+
+    Reproduces albumentations GridDistortion's per-cell linspace law: the
+    axis is cut into ``num_steps`` cells of ``size // num_steps`` pixels;
+    cell ``i`` is linearly stretched by ``steps[i]``; the remainder cell
+    (when ``size % num_steps != 0``) is pinned to end exactly at ``size``.
+    """
+    step = size // num_steps
+    i = jnp.arange(num_steps + 1)
+    start = i * step
+    full = start + step <= size
+    widths = jnp.where(full, step * steps, 0.0)
+    prev = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(widths)])[:-1]
+    cur = jnp.where(full, prev + step * steps, float(size))
+    end = jnp.minimum(start + step, size)
+    n = jnp.maximum(end - start, 1)
+
+    x = jnp.arange(size)
+    idx = jnp.minimum(x // step, num_steps)
+    t = (x - start[idx]) / jnp.maximum(n[idx] - 1, 1)
+    return prev[idx] + (cur[idx] - prev[idx]) * t
+
+
+def _axis_resample_matrix(coords: jax.Array, size: int) -> jax.Array:
+    """(out, src) bilinear weights for 1-D coordinates — dense so the 2-D
+    remap becomes two small matmuls (MXU) instead of gathers."""
+    c = _reflect101(coords, size)
+    f = jnp.floor(c)
+    t = (c - f)[:, None]
+    i0 = jnp.clip(f.astype(jnp.int32), 0, size - 1)[:, None]
+    i1 = jnp.clip(i0 + 1, 0, size - 1)
+    cols = jnp.arange(size)[None, :]
+    return (cols == i0) * (1.0 - t) + (cols == i1) * t
+
+
+def grid_distortion(
+    rng: jax.Array,
+    img: jax.Array,
+    mask: Optional[jax.Array] = None,
+    num_steps: int = 5,
+    distort_limit: float = 0.3,
+    p: float = 0.2,
+):
+    """Albumentations-style GridDistortion, image bilinear + mask nearest.
+
+    Reference: ``A.GridDistortion(p=0.2)`` in the polyp finetune stack
+    (``/root/reference/datasets/finetune_dataset.py:321``).  Per axis the
+    image is cut into ``num_steps`` cells, each stretched by an independent
+    factor in ``1 ± distort_limit``; out-of-range source coordinates fold
+    with BORDER_REFLECT_101.  The separable remap runs as two dense
+    resampling matmuls for the image; the mask warps through the same
+    coordinates with nearest sampling so image and mask stay aligned.
+    """
+    h, w = img.shape[0], img.shape[1]
+    k_x, k_y, k_p = jax.random.split(rng, 3)
+    sx = 1.0 + jax.random.uniform(
+        k_x, (num_steps + 1,), minval=-distort_limit, maxval=distort_limit
+    )
+    sy = 1.0 + jax.random.uniform(
+        k_y, (num_steps + 1,), minval=-distort_limit, maxval=distort_limit
+    )
+    xx = _grid_axis_coords(sx, w, num_steps)
+    yy = _grid_axis_coords(sy, h, num_steps)
+
+    wx = _axis_resample_matrix(xx, w)
+    wy = _axis_resample_matrix(yy, h)
+    tmp = jnp.einsum("xk,ykc->yxc", wx, img)
+    warped = jnp.einsum("yj,jxc->yxc", wy, tmp)
+
+    apply = jax.random.bernoulli(k_p, p)
+    out_img = jnp.where(apply, warped, img)
+    if mask is None:
+        return out_img
+
+    iy = jnp.clip(jnp.round(_reflect101(yy, h)).astype(jnp.int32), 0, h - 1)
+    ix = jnp.clip(jnp.round(_reflect101(xx, w)).astype(jnp.int32), 0, w - 1)
+    warped_mask = mask[iy[:, None], ix[None, :]]
+    out_mask = jnp.where(apply, warped_mask, mask)
+    return out_img, out_mask
 
 
 def random_erase(

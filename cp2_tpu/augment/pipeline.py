@@ -136,9 +136,8 @@ class FinetuneAugmentConfig:
     """Polyp finetune train-time augs (reference finetune_dataset.py:301-337).
 
     Host already did SmallestMaxSize + RandomCrop (geometry); device does
-    flips (image+mask), color jitter, and Gaussian noise.  Albumentations'
-    GridDistortion(p=0.2) is approximated by a smooth random displacement
-    field of the same magnitude.
+    flips (image+mask), color jitter, GridDistortion (image bilinear +
+    mask nearest through the same warp), and Gaussian noise.
     """
 
     hflip_p: float = 0.5
@@ -166,7 +165,7 @@ def finetune_augment_batch(
 
     def per_image(key, img, mask):
         img = _to_float(img)
-        k_h, k_v, k_j, k_n, k_s = jax.random.split(key, 5)
+        k_h, k_v, k_j, k_n, k_d = jax.random.split(key, 5)
         do_h = jax.random.bernoulli(k_h, cfg.hflip_p)
         do_v = jax.random.bernoulli(k_v, cfg.vflip_p)
         img = jnp.where(do_h, img[:, ::-1], img)
@@ -177,6 +176,11 @@ def finetune_augment_batch(
             k_j, img, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue,
             cfg.jitter_p,
         )
+        if cfg.distort_p > 0:
+            img, mask = F.grid_distortion(
+                k_d, img, mask,
+                distort_limit=cfg.distort_limit, p=cfg.distort_p,
+            )
         k_var, k_gauss, k_p = jax.random.split(k_n, 3)
         var = jax.random.uniform(
             k_var, minval=cfg.noise_var[0], maxval=cfg.noise_var[1]

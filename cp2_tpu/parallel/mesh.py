@@ -30,16 +30,30 @@ def create_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
     """Build a mesh over the first ``n_devices`` devices.
 
     Default is a 1-D data-parallel mesh over every addressable device —
     the layout matching the reference's (pure DP) parallelism.  ``shape``
     allows e.g. ``(2, 4)`` with ``axis_names=("data", "model")`` for
-    hybrid layouts.
+    hybrid layouts.  ``devices`` overrides the device pool (e.g.
+    ``jax.devices("cpu")`` for a virtual validation mesh).
+
+    Raises ``ValueError`` when fewer than ``n_devices`` devices exist —
+    silently downgrading would let an "8-device" validation run on one
+    chip and prove nothing.
     """
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"create_mesh({n_devices}) but only {len(devices)} device(s) "
+                f"available ({devices[0].platform if devices else 'none'}); "
+                "refusing to build a smaller mesh silently"
+            )
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),)

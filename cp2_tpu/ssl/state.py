@@ -64,7 +64,7 @@ def create_pretrain_state(
         variables = model.init(init_rng, sample_input, train=False)
     else:
         variables = init_fn(model, init_rng, sample_input)
-    params = variables["params"]
+    params = variables.get("params", {})
     batch_stats = variables.get("batch_stats", {})
     return PretrainState(
         step=jnp.zeros((), jnp.int32),

@@ -78,6 +78,11 @@ def get_args(argv=None):
 
 
 def main(args):
+    # Multi-host bootstrap first, before any JAX backend touch.
+    from cp2_tpu.parallel.collectives import initialize as distributed_initialize
+
+    distributed_initialize()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -122,6 +127,17 @@ def main(args):
     pairs = list_image_mask_pairs(args.img_dirs[0], args.mask_dirs[0])
     splits = get_data_splits(pairs, args.data_split_type, args.train_data_ratio)
     n_dev = jax.device_count()
+    if not splits["train"]:
+        raise ValueError("train split is empty — check --img_dirs/--mask_dirs")
+    if args.batch_size > len(splits["train"]):
+        # smoke runs hand in tiny datasets; a batch larger than the train
+        # split would make the (drop_last) train loader yield zero steps
+        eff = max(len(splits["train"]) // n_dev * n_dev, 1)
+        logger.warning(
+            f"batch_size {args.batch_size} > train split "
+            f"{len(splits['train'])}; clamping to {eff}"
+        )
+        args.batch_size = eff
     pseudo = pseudo_test_subset(splits["test"], args.batch_size, 1)
     logger.info(
         f"splits: train={len(splits['train'])} val={len(splits['val'])} "

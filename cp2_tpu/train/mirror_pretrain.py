@@ -77,6 +77,11 @@ def get_args(argv=None):
 
 
 def main(args):
+    # Multi-host bootstrap first, before any JAX backend touch.
+    from cp2_tpu.parallel.collectives import initialize as distributed_initialize
+
+    distributed_initialize()
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -113,6 +118,16 @@ def main(args):
     train_files = get_pretrain_files(args.data_dirs, DatasetType.CSV, "train")
     val_files = get_pretrain_files(args.data_dirs, DatasetType.CSV, "val")
     base_hw = (hw[0] + 32, hw[1] + 32)
+    if not train_files:
+        raise ValueError("train split is empty — check --data_dirs")
+    if args.batch_size > len(train_files):
+        # tiny smoke datasets: a drop_last train loader would yield 0 steps
+        eff = max(len(train_files), 1)
+        logger.warning(
+            f"batch_size {args.batch_size} > train files "
+            f"{len(train_files)}; clamping to {eff}"
+        )
+        args.batch_size = eff
 
     def loader(files, shuffle, seed):
         return HostDataLoader(

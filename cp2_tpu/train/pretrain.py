@@ -135,6 +135,12 @@ def get_args(argv=None):
 
 
 def main(args):
+    # Multi-host bootstrap FIRST — before anything touches a JAX backend
+    # (reference: dist.init_process_group before model build, main.py:172-178).
+    from cp2_tpu.parallel.collectives import initialize as distributed_initialize
+
+    distributed_initialize()
+
     import jax
     import jax.numpy as jnp
     import optax

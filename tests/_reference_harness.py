@@ -1,0 +1,258 @@
+"""Import-and-drive harness for the UPSTREAM reference (/root/reference).
+
+Used by ``test_reference_fidelity.py`` to run the reference's actual loss
+code (``builder.py`` forwards) on CPU torch against the rebuilt JAX
+objectives, on identical inputs, through an identical tiny deterministic
+encoder.  The reference tree is treated strictly read-only; its missing GPU
+stack (mmcv/mmseg, lightning, wandb, torchmetrics, smp, CUDA) is replaced
+by in-memory stubs installed into ``sys.modules`` before import.
+
+The encoder stub is the key trick: ``build_segmentor`` is patched to return
+a single bias-free strided conv with weights drawn from a seeded numpy
+generator; the JAX side wraps the SAME weights.  Both frameworks then
+compute everything downstream — compositing, mask/id subsampling,
+correspondence, normalization, dense + instance logits, queue, losses —
+from their own code, so a float-tolerance match is a real fidelity proof
+of the loss math (BN semantics are validated separately; the stub has no
+normalization layers).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from typing import Any, Dict
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+
+_IMPORTED: Dict[str, Any] = {}
+
+
+def _install_stub_modules():
+    import torch
+    import torch.nn as nn
+
+    def mod(name):
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+        return m
+
+    # ---- wandb: swallow everything -------------------------------------
+    if "wandb" not in sys.modules:
+        wandb = mod("wandb")
+        wandb.log = lambda *a, **k: None
+        wandb.define_metric = lambda *a, **k: None
+        wandb.Image = lambda *a, **k: None
+        wandb.init = lambda *a, **k: None
+
+    # ---- torchvision (only the rank-0 visualization paths touch it) ------
+    if "torchvision" not in sys.modules:
+        tv = mod("torchvision")
+        tv_utils = mod("torchvision.utils")
+        tv_utils.make_grid = lambda *a, **k: None
+        tv.utils = tv_utils
+        tv_tf = mod("torchvision.transforms")
+        tv_tf.__getattr__ = lambda name: (lambda *a, **k: None)
+        tv.transforms = tv_tf
+
+    # ---- torchmetrics ---------------------------------------------------
+    if "torchmetrics" not in sys.modules:
+        class _Metric(nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+                self._sum, self._n = 0.0, 0
+
+            def forward(self, x, *a, **k):
+                return self.update(x)
+
+            def update(self, x, *a, **k):
+                x = torch.as_tensor(x, dtype=torch.float32)
+                self._sum += float(x.sum())
+                self._n += x.numel()
+
+            def compute(self):
+                return torch.tensor(self._sum / max(self._n, 1))
+
+            def reset(self):
+                self._sum, self._n = 0.0, 0
+
+        tm = mod("torchmetrics")
+        for name in ("Accuracy", "Dice", "F1Score", "JaccardIndex",
+                     "MetricCollection", "Precision", "Recall", "MeanMetric"):
+            setattr(tm, name, _Metric)
+        agg = mod("torchmetrics.aggregation")
+        agg.MeanMetric = _Metric
+        tm.aggregation = agg
+
+    # ---- lightning -------------------------------------------------------
+    if "lightning" not in sys.modules:
+        li = mod("lightning")
+        li.LightningModule = type("LightningModule", (nn.Module,), {})
+        li.LightningDataModule = type("LightningDataModule", (), {})
+        li.seed_everything = lambda *a, **k: None
+
+    # ---- segmentation_models_pytorch --------------------------------------
+    if "segmentation_models_pytorch" not in sys.modules:
+        smp = mod("segmentation_models_pytorch")
+
+        def _unet(*a, **k):
+            raise NotImplementedError("smp.Unet not available in fidelity harness")
+
+        smp.Unet = _unet
+
+    # ---- mmseg (build_segmentor patched per-run) --------------------------
+    if "mmseg" not in sys.modules:
+        mmseg = mod("mmseg")
+        models = mod("mmseg.models")
+        models.build_segmentor = None  # set by run_* functions
+        utils = mod("mmseg.models.utils")
+        import torch.nn.functional as _F
+
+        def resize(x, size=None, scale_factor=None, mode="nearest",
+                   align_corners=None, warning=True):
+            return _F.interpolate(x, size=size, scale_factor=scale_factor,
+                                  mode=mode, align_corners=align_corners)
+
+        utils.resize = resize
+        heads = mod("mmseg.models.decode_heads")
+        heads.FCNHead = type("FCNHead", (nn.Module,), {})
+        models.utils = utils
+        models.decode_heads = heads
+        mmseg.models = models
+
+
+def _patch_cuda_noops():
+    """CPU-only torch: make the reference's hard .cuda() calls identities."""
+    import torch
+
+    if getattr(torch.Tensor.cuda, "_fidelity_patched", False):
+        return
+    orig = torch.Tensor.cuda
+
+    def cuda(self, *a, **k):  # noqa: D401
+        return self
+
+    cuda._fidelity_patched = True
+    torch.Tensor.cuda = cuda
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+
+def _ensure_process_group():
+    """world-size-1 gloo group so concat_all_gather/broadcast work
+    (the reference's --debug mode does the same, main.py:724-729)."""
+    import torch.distributed as dist
+
+    if not dist.is_initialized():
+        dist.init_process_group(
+            backend="gloo", init_method="tcp://localhost:29871",
+            world_size=1, rank=0,
+        )
+
+
+def import_reference_builder():
+    """Import /root/reference/builder.py with stubs installed. Cached."""
+    if "builder" in _IMPORTED:
+        return _IMPORTED["builder"]
+    _install_stub_modules()
+    _patch_cuda_noops()
+    _ensure_process_group()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import builder  # noqa: F401  (the reference module)
+
+    _IMPORTED["builder"] = builder
+    return builder
+
+
+# ---------------------------------------------------------------------------
+# the shared deterministic encoder stub
+# ---------------------------------------------------------------------------
+
+
+def stub_conv_weights(seed: int, dim: int, stride: int) -> np.ndarray:
+    """(dim, 3, stride, stride) OIHW float32, small scale."""
+    r = np.random.RandomState(seed)
+    return (r.randn(dim, 3, stride, stride) * 0.05).astype(np.float32)
+
+
+def make_torch_stub_factory(dim: int, stride: int, seed: int,
+                            backbone_channels: int = 2048,
+                            backbone_stride: int = 32):
+    """Returns a ``build_segmentor(cfg, ...)``-compatible factory producing
+    the deterministic conv stub (dense head + stage-4 backbone output)."""
+    import torch
+    import torch.nn as nn
+
+    w_dense = stub_conv_weights(seed, dim, stride)
+    w_backbone = stub_conv_weights(seed + 1, backbone_channels, backbone_stride)
+
+    class StubBackbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, backbone_channels, backbone_stride,
+                                  backbone_stride, bias=False)
+            with torch.no_grad():
+                self.conv.weight.copy_(torch.from_numpy(w_backbone))
+
+        def forward(self, x):
+            f = self.conv(x)
+            return (f, f, f, f)
+
+        def init_weights(self, *a, **k):
+            pass
+
+    class StubSegmentor(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = StubBackbone()
+            self.dense_conv = nn.Conv2d(3, dim, stride, stride, bias=False)
+            with torch.no_grad():
+                self.dense_conv.weight.copy_(torch.from_numpy(w_dense))
+
+        def forward(self, img, img_metas=None, **kw):
+            # mirrors the fork's img_metas=None hook
+            # (mmseg_/models/segmentors/encoder_decoder.py:137-145)
+            return self.dense_conv(img)
+
+    def build_segmentor(cfg, train_cfg=None, test_cfg=None):
+        return StubSegmentor()
+
+    return build_segmentor
+
+
+class _CfgShim:
+    """Duck-types the mmengine Config the reference passes around."""
+
+    model = None
+
+    def get(self, *a, **k):
+        return None
+
+
+def build_reference_model(builder, *, dim: int, stride: int, seed: int,
+                          queue_np: np.ndarray, queue2_np=None,
+                          **model_kwargs):
+    """Construct reference ``MODEL`` around the stub encoder with a pinned
+    queue.  ``queue_np`` is (K, dim) row-major (the rebuild's layout); the
+    reference stores (dim, K)."""
+    import torch
+
+    sys.modules["mmseg.models"].build_segmentor = make_torch_stub_factory(
+        dim, stride, seed
+    )
+    builder.build_segmentor = sys.modules["mmseg.models"].build_segmentor
+    model = builder.MODEL(
+        _CfgShim(),
+        rank=1,  # disables every wandb path in the reference
+        dim=dim,
+        K=queue_np.shape[0],
+        pretrain_from_scratch=True,
+        **model_kwargs,
+    )
+    with torch.no_grad():
+        model.queue.copy_(torch.from_numpy(queue_np.T.copy()))
+        if queue2_np is not None:
+            model.queue2.copy_(torch.from_numpy(queue2_np.T.copy()))
+    return model

@@ -132,3 +132,109 @@ def test_pretrain_batch_augment_shapes_and_jit():
     np.testing.assert_array_equal(
         np.asarray(batch["region_ids_a"]), np.asarray(batch["pixel_ids_a"])
     )
+
+
+# ---------------------------------------------------------------------------
+# GridDistortion (reference finetune_dataset.py:321, A.GridDistortion(p=0.2))
+# ---------------------------------------------------------------------------
+
+
+def _np_grid_axis_coords(steps, size, num_steps):
+    """Independent numpy transliteration of the albumentations law: per-cell
+    linspace with stretched widths, remainder cell pinned to ``size``."""
+    step = size // num_steps
+    xx = np.zeros(size, np.float64)
+    prev = 0.0
+    for idx in range(num_steps + 1):
+        start = idx * step
+        end = start + step
+        if end > size:
+            end = size
+            cur = float(size)
+        else:
+            cur = prev + step * steps[idx]
+        if end > start:
+            xx[start:end] = np.linspace(prev, cur, end - start)
+        prev = cur
+    return xx
+
+
+# NOTE: sizes where (num_steps+1) cells don't cover the axis (size//num_steps
+# * (num_steps+1) < size, e.g. 7px/5 steps) are excluded: there albumentations
+# leaves trailing pixels mapped to coordinate 0 (an artifact of its loop); we
+# extend the last cell linearly instead.  Real sizes (224, 352, ...) agree.
+@pytest.mark.parametrize("size,num_steps", [(20, 5), (22, 5), (33, 4), (224, 5)])
+def test_grid_axis_coords_matches_linspace_law(size, num_steps):
+    r = np.random.RandomState(0)
+    steps = 1.0 + r.uniform(-0.3, 0.3, num_steps + 1)
+    got = np.asarray(F._grid_axis_coords(jnp.asarray(steps, jnp.float32),
+                                         size, num_steps))
+    want = _np_grid_axis_coords(steps, size, num_steps)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_distortion_zero_limit_near_identity():
+    # with all stretch factors == 1 the coordinate map deviates from the
+    # identity by < 1.01 px (the per-cell inclusive-linspace quirk the
+    # reference library also has), so a warp of a smooth image barely moves
+    h = w = 40
+    img = jnp.broadcast_to(
+        (jnp.arange(w) / w)[None, :, None], (h, w, 3)
+    ).astype(jnp.float32)
+    mask = (jnp.arange(w)[None, :] > w // 2).astype(jnp.int32) * jnp.ones(
+        (h, 1), jnp.int32
+    )
+    out, m = F.grid_distortion(
+        jax.random.PRNGKey(0), img, mask, distort_limit=0.0, p=1.0
+    )
+    coords = np.asarray(F._grid_axis_coords(jnp.ones(6), w, 5))
+    assert np.abs(coords - np.arange(w)).max() < 1.01
+    assert float(jnp.abs(out - img).max()) < 1.5 / 40 + 1e-3
+    assert int(jnp.abs(m - mask).sum()) <= 2 * h  # at most the boundary col
+
+
+def test_grid_distortion_p_zero_is_identity():
+    r = np.random.RandomState(1)
+    img = jnp.asarray(r.rand(24, 24, 3), jnp.float32)
+    mask = jnp.asarray((r.rand(24, 24) > 0.5).astype(np.int32))
+    out, m = F.grid_distortion(jax.random.PRNGKey(3), img, mask, p=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(mask))
+
+
+def test_grid_distortion_mask_image_co_warp():
+    # paint the mask INTO the image; after warping, the thresholded image
+    # must agree with the warped mask except near interpolation boundaries
+    h = w = 48
+    r = np.random.RandomState(2)
+    mask_np = np.zeros((h, w), np.int32)
+    mask_np[10:30, 15:40] = 1
+    img = jnp.asarray(
+        np.repeat(mask_np[..., None], 3, axis=2).astype(np.float32)
+    )
+    mask = jnp.asarray(mask_np)
+    out, m = F.grid_distortion(
+        jax.random.PRNGKey(7), img, mask, distort_limit=0.3, p=1.0
+    )
+    out_np = np.asarray(out[..., 0])
+    m_np = np.asarray(m)
+    assert set(np.unique(m_np)).issubset({0, 1})  # nearest: no new values
+    mismatch = np.mean((out_np > 0.5) != (m_np == 1))
+    assert mismatch < 0.03, mismatch
+    # the warp actually did something
+    assert np.abs(out_np - np.asarray(img[..., 0])).max() > 0.1
+
+
+def test_grid_distortion_bounds_and_batch_pipeline():
+    from cp2_tpu.augment.pipeline import FinetuneAugmentConfig, finetune_augment_batch
+
+    r = np.random.RandomState(3)
+    imgs = jnp.asarray((r.rand(2, 32, 32, 3) * 255).astype(np.uint8))
+    masks = jnp.asarray((r.rand(2, 32, 32) > 0.5).astype(np.int32))
+    cfg = FinetuneAugmentConfig(distort_p=1.0)
+    out, m = jax.jit(
+        lambda k, i, ma: finetune_augment_batch(k, i, ma, cfg)
+    )(jax.random.PRNGKey(0), imgs, masks)
+    assert out.shape == (2, 32, 32, 3) and m.shape == (2, 32, 32)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert set(np.unique(np.asarray(m))).issubset({0, 1})

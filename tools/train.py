@@ -50,6 +50,11 @@ def poly_lr(base_lr: float, max_iters: int, power: float = 0.9, min_lr: float = 
 
 
 def main(args):
+    # Multi-host bootstrap first, before any JAX backend touch.
+    from cp2_tpu.parallel.collectives import initialize as distributed_initialize
+
+    distributed_initialize()
+
     import numpy as np
     import jax
     import jax.numpy as jnp
