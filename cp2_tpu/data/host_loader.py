@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -56,7 +57,7 @@ class PretrainDataSource:
     def __len__(self) -> int:
         return len(self.files)
 
-    def load(self, index: int) -> Dict[str, np.ndarray]:
+    def load(self, index: int, rng=None) -> Dict[str, np.ndarray]:
         path = self.files[index]
         out = {"image": _decode_rgb(path, self.base_hw)}
         if self.with_region_maps:
@@ -86,6 +87,7 @@ class SegmentationDataSource:
         self.num_classes = num_classes
         self.random_crop = random_crop
         self._rng = np.random.RandomState(seed)
+        self._rng_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -98,7 +100,7 @@ class SegmentationDataSource:
             resample,
         )
 
-    def load(self, index: int) -> Dict[str, np.ndarray]:
+    def load(self, index: int, rng=None) -> Dict[str, np.ndarray]:
         img_path, mask_path = self.pairs[index]
         with open(img_path, "rb") as f:
             img = Image.open(f).convert("RGB")
@@ -110,8 +112,14 @@ class SegmentationDataSource:
         mask = self._smallest_max_size(mask, Image.NEAREST)
         s = self.image_size
         if self.random_crop:
-            y0 = self._rng.randint(0, img.height - s + 1)
-            x0 = self._rng.randint(0, img.width - s + 1)
+            if rng is None:
+                # shared-state fallback: serialize draws across decode threads
+                with self._rng_lock:
+                    y0 = self._rng.randint(0, img.height - s + 1)
+                    x0 = self._rng.randint(0, img.width - s + 1)
+            else:
+                y0 = rng.randint(0, img.height - s + 1)
+                x0 = rng.randint(0, img.width - s + 1)
         else:
             y0 = (img.height - s) // 2
             x0 = (img.width - s) // 2
@@ -125,10 +133,16 @@ class SegmentationDataSource:
 class HostDataLoader:
     """Shuffling, sharding, batch-stacking iterator with background prefetch.
 
-    One worker thread decodes ahead into a bounded queue (PIL releases the
-    GIL during decode).  ``epoch_iterator(epoch)`` reshuffles with
-    ``seed + epoch`` — the DistributedSampler ``set_epoch`` contract
-    (reference main.py:503-505) without any process-group machinery.
+    ``num_workers`` threads decode rows concurrently (PIL releases the GIL
+    during decode/resize) into a bounded in-order queue — the counterpart
+    of the reference's ``--num-workers`` DataLoader processes
+    (main.py:70-71) without pickling or process fork cost.  Per-item
+    augmentation randomness is derived from ``(seed, epoch, index)``, so
+    batches are reproducible regardless of worker count or scheduling.
+
+    ``epoch_iterator(epoch)`` reshuffles with ``seed + epoch`` — the
+    DistributedSampler ``set_epoch`` contract (reference main.py:503-505)
+    without any process-group machinery.
     """
 
     def __init__(
@@ -141,6 +155,7 @@ class HostDataLoader:
         seed: int = 0,
         shard: Tuple[int, int] = (0, 1),
         prefetch: int = 2,
+        num_workers: int = 1,
     ):
         self.source = source
         self.batch_size = batch_size
@@ -149,6 +164,7 @@ class HostDataLoader:
         self.seed = seed
         self.shard = shard
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
 
     def __len__(self) -> int:
         host_id, num_hosts = self.shard
@@ -165,6 +181,11 @@ class HostDataLoader:
         host_id, num_hosts = self.shard
         return idx[host_id::num_hosts]
 
+    def _item_rng(self, epoch: int, index: int) -> np.random.RandomState:
+        return np.random.RandomState(
+            (self.seed * 1000003 + epoch * 8191 + int(index)) % (2**31 - 1)
+        )
+
     def epoch_iterator(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._epoch_indices(epoch)
         nbatches = len(idx) // self.batch_size if self.drop_last else (
@@ -173,15 +194,19 @@ class HostDataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def worker():
+        def load_row(i):
+            return self.source.load(int(i), rng=self._item_rng(epoch, int(i)))
+
+        def producer(pool):
             try:
                 for b in range(nbatches):
                     if stop.is_set():
                         return
-                    rows = [
-                        self.source.load(i)
-                        for i in idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    ]
+                    rows_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    if pool is None:
+                        rows = [load_row(i) for i in rows_idx]
+                    else:
+                        rows = list(pool.map(load_row, rows_idx))
                     batch = {
                         k: np.stack([r[k] for r in rows]) for k in rows[0]
                     }
@@ -190,7 +215,12 @@ class HostDataLoader:
             except BaseException as e:  # surface decode errors, don't hang
                 q.put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
+        pool = (
+            ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_workers > 1
+            else None
+        )
+        t = threading.Thread(target=producer, args=(pool,), daemon=True)
         t.start()
         try:
             while True:
@@ -202,3 +232,5 @@ class HostDataLoader:
                 yield batch
         finally:
             stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False)

@@ -25,7 +25,7 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[str]:
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB,
         "-ljpeg", "-lpng", "-lpthread",
     ]
     try:
@@ -56,9 +56,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.cp2_loader_create_pairs.restype = ctypes.c_void_p
+    lib.cp2_loader_create_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     lib.cp2_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.cp2_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.cp2_loader_next.restype = ctypes.c_int
+    lib.cp2_loader_next_pair.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+    ]
+    lib.cp2_loader_next_pair.restype = ctypes.c_int
     lib.cp2_loader_len.argtypes = [ctypes.c_void_p]
     lib.cp2_loader_len.restype = ctypes.c_int
     lib.cp2_loader_destroy.argtypes = [ctypes.c_void_p]
@@ -117,6 +127,85 @@ class NativePretrainLoader:
             if not ok:
                 return
             yield {"image": self._buf.copy()}
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.cp2_loader_destroy(self._handle)
+        except Exception:
+            pass
+
+
+class NativePairLoader:
+    """Paired (image, mask/region-map) loader backed by the C++ pool.
+
+    Two geometry modes mirroring the Python sources:
+
+    * ``mode="region"`` — both streams resized to ``base_hw`` (image
+      bilinear, map nearest); REGION_ID pretrain input (reference
+      loader.py:75-83 SAM_Masks pairing).
+    * ``mode="crop"`` — SmallestMaxSize to ``image_size`` then one shared
+      random (or center) crop; the finetune (image, mask) pipeline
+      (reference finetune_dataset.py:89-117).  Mask binarization for
+      ``num_classes == 2`` happens here, like ``SegmentationDataSource``.
+    """
+
+    _MODES = {"region": 1, "crop": 2}
+
+    def __init__(
+        self,
+        pairs: Sequence[Tuple[str, str]],
+        batch_size: int,
+        base_hw: Tuple[int, int],
+        *,
+        mode: str = "crop",
+        random_crop: bool = True,
+        num_classes: int = 0,
+        threads: int = 4,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_build_error}")
+        if mode == "crop" and base_hw[0] != base_hw[1]:
+            raise ValueError("crop mode requires a square target")
+        self._lib = lib
+        self.batch_size = batch_size
+        self.base_hw = base_hw
+        self.num_classes = num_classes
+        imgs = [os.fsencode(i) for i, _ in pairs]
+        auxs = [os.fsencode(a) for _, a in pairs]
+        img_arr = (ctypes.c_char_p * len(imgs))(*imgs)
+        aux_arr = (ctypes.c_char_p * len(auxs))(*auxs)
+        self._handle = lib.cp2_loader_create_pairs(
+            img_arr, aux_arr, len(imgs), batch_size, base_hw[0], base_hw[1],
+            threads, seed, int(shuffle), int(drop_last),
+            self._MODES[mode], int(random_crop),
+        )
+        self._img = np.empty((batch_size, base_hw[0], base_hw[1], 3), np.uint8)
+        self._aux = np.empty((batch_size, base_hw[0], base_hw[1]), np.int32)
+
+    def __len__(self) -> int:
+        return self._lib.cp2_loader_len(self._handle)
+
+    def epoch_iterator(self, epoch: int = 0) -> Iterator[dict]:
+        self._lib.cp2_loader_start_epoch(self._handle, epoch)
+        while True:
+            ok = self._lib.cp2_loader_next_pair(
+                self._handle,
+                self._img.ctypes.data_as(ctypes.c_char_p),
+                self._aux.ctypes.data_as(ctypes.c_void_p),
+            )
+            if not ok:
+                return
+            mask = self._aux
+            if self.num_classes == 2:
+                mask = (mask > 0).astype(np.int32)
+            else:
+                mask = mask.copy()
+            yield {"image": self._img.copy(), "mask": mask}
 
     def __del__(self):
         try:

@@ -24,8 +24,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <mutex>
-#include <queue>
 #include <random>
 #include <string>
 #include <thread>
@@ -115,55 +115,170 @@ bool decode_any(const std::string& path, Image* out) {
   return false;
 }
 
-// bilinear resize (half-pixel centers) HWC uint8 -> fixed (H, W)
-void resize_bilinear(const Image& src, uint8_t* dst, int dh, int dw) {
-  const float sy = float(src.h) / dh;
-  const float sx = float(src.w) / dw;
-  for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = std::max(0, std::min(int(fy), src.h - 1));
-    int y1 = std::min(y0 + 1, src.h - 1);
-    float wy = std::max(0.0f, std::min(fy - y0, 1.0f));
-    for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = std::max(0, std::min(int(fx), src.w - 1));
-      int x1 = std::min(x0 + 1, src.w - 1);
-      float wx = std::max(0.0f, std::min(fx - x0, 1.0f));
-      for (int c = 0; c < 3; ++c) {
-        float top = src.rgb[(size_t(y0) * src.w + x0) * 3 + c] * (1 - wx) +
-                    src.rgb[(size_t(y0) * src.w + x1) * 3 + c] * wx;
-        float bot = src.rgb[(size_t(y1) * src.w + x0) * 3 + c] * (1 - wx) +
-                    src.rgb[(size_t(y1) * src.w + x1) * 3 + c] * wx;
-        dst[(size_t(y) * dw + x) * 3 + c] =
-            uint8_t(top * (1 - wy) + bot * wy + 0.5f);
-      }
+// Antialiased bilinear resampling matching PIL Image.BILINEAR: a separable
+// triangle filter whose support scales with the downscale factor (plain
+// 2x2 point-sampled bilinear aliases on downscale and diverges from the
+// Python/PIL host path the loader replaces).
+struct ResampleKernel {
+  std::vector<int> xmin, xlen;   // per output pixel: first tap, tap count
+  std::vector<float> weights;    // taps, max_len per output pixel
+  int max_len = 0;
+};
+
+ResampleKernel build_triangle_kernel(int in_size, int out_size) {
+  ResampleKernel k;
+  const double scale = double(in_size) / out_size;
+  const double fscale = std::max(scale, 1.0);
+  const double support = 1.0 * fscale;  // triangle filter support = 1
+  k.max_len = int(std::ceil(support)) * 2 + 1;
+  k.xmin.resize(out_size);
+  k.xlen.resize(out_size);
+  k.weights.assign(size_t(out_size) * k.max_len, 0.0f);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int x0 = std::max(0, int(center - support + 0.5));
+    int x1 = std::min(in_size, int(center + support + 0.5));
+    double ww = 0.0;
+    std::vector<double> w(x1 - x0);
+    for (int x = x0; x < x1; ++x) {
+      double t = std::abs((x - center + 0.5) / fscale);
+      double v = t < 1.0 ? 1.0 - t : 0.0;
+      w[x - x0] = v;
+      ww += v;
     }
+    float* wf = k.weights.data() + size_t(xx) * k.max_len;
+    for (int x = 0; x < x1 - x0; ++x)
+      wf[x] = float(ww > 0 ? w[x] / ww : 0.0);
+    k.xmin[xx] = x0;
+    k.xlen[xx] = x1 - x0;
+  }
+  return k;
+}
+
+void resize_bilinear(const Image& src, uint8_t* dst, int dh, int dw) {
+  ResampleKernel kx = build_triangle_kernel(src.w, dw);
+  ResampleKernel ky = build_triangle_kernel(src.h, dh);
+  // horizontal pass into a float intermediate (src.h x dw x 3)
+  std::vector<float> tmp(size_t(src.h) * dw * 3);
+  std::vector<float> frow(size_t(src.w) * 3);
+  for (int y = 0; y < src.h; ++y) {
+    const uint8_t* row = src.rgb.data() + size_t(y) * src.w * 3;
+    for (size_t i = 0; i < frow.size(); ++i) frow[i] = row[i];
+    float* trow = tmp.data() + size_t(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float* w = kx.weights.data() + size_t(x) * kx.max_len;
+      const float* p = frow.data() + size_t(kx.xmin[x]) * 3;
+      float a0 = 0, a1 = 0, a2 = 0;
+      for (int t = 0; t < kx.xlen[x]; ++t, p += 3) {
+        a0 += w[t] * p[0];
+        a1 += w[t] * p[1];
+        a2 += w[t] * p[2];
+      }
+      trow[x * 3 + 0] = a0;
+      trow[x * 3 + 1] = a1;
+      trow[x * 3 + 2] = a2;
+    }
+  }
+  // vertical pass: accumulate whole rows (contiguous, vectorizable)
+  std::vector<float> acc(size_t(dw) * 3);
+  for (int y = 0; y < dh; ++y) {
+    const float* w = ky.weights.data() + size_t(y) * ky.max_len;
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int t = 0; t < ky.xlen[y]; ++t) {
+      const float wt = w[t];
+      const float* trow = tmp.data() + size_t(ky.xmin[y] + t) * dw * 3;
+      for (size_t i = 0; i < acc.size(); ++i) acc[i] += wt * trow[i];
+    }
+    uint8_t* drow = dst + size_t(y) * dw * 3;
+    for (size_t i = 0; i < acc.size(); ++i)
+      drow[i] = uint8_t(std::max(0.0f, std::min(255.0f, acc[i] + 0.5f)));
   }
 }
 
+// single-channel luminance, matching PIL Image.convert("L"):
+// L = (299 R + 587 G + 114 B) / 1000 — for id/label masks stored as
+// grayscale PNG this is the identity (R == G == B == id).
+struct Gray {
+  std::vector<int32_t> y;  // H*W
+  int h = 0, w = 0;
+};
+
+void rgb_to_gray(const Image& src, Gray* out) {
+  out->h = src.h;
+  out->w = src.w;
+  out->y.resize(size_t(src.h) * src.w);
+  for (size_t i = 0; i < out->y.size(); ++i) {
+    const uint8_t* p = src.rgb.data() + i * 3;
+    out->y[i] = int32_t((299 * p[0] + 587 * p[1] + 114 * p[2]) / 1000);
+  }
+}
+
+// nearest resize, bit-exact to PIL Image.NEAREST: PIL's ImagingScaleAffine
+// ACCUMULATES the step (xx += step) rather than computing (x+0.5)*step, and
+// the float drift changes which source pixel wins at exact tile boundaries
+// — so accumulate the same way.
+void resize_nearest(const Gray& src, int32_t* dst, int dh, int dw) {
+  const double sy = double(src.h) / dh;
+  const double sx = double(src.w) / dw;
+  std::vector<int> xmap(dw);
+  double xx = sx * 0.5;
+  for (int x = 0; x < dw; ++x, xx += sx)
+    xmap[x] = std::min(int(xx), src.w - 1);
+  double yy = sy * 0.5;
+  for (int y = 0; y < dh; ++y, yy += sy) {
+    int ys = std::min(int(yy), src.h - 1);
+    for (int x = 0; x < dw; ++x)
+      dst[size_t(y) * dw + x] = src.y[size_t(ys) * src.w + xmap[x]];
+  }
+}
+
+// What travels alongside each image frame:
+//   AUX_NONE   — images only (pretrain background/foreground streams)
+//   AUX_RESIZE — aux map nearest-resized to the same base (H, W) as the
+//                image (SAM region-id maps for REGION_ID pretrain,
+//                reference loader.py:75-83)
+//   AUX_CROP   — finetune (image, mask) pairs: SmallestMaxSize to the
+//                target side then one shared random crop, image bilinear
+//                / mask nearest (reference finetune_dataset.py:89-117)
+enum AuxMode { AUX_NONE = 0, AUX_RESIZE = 1, AUX_CROP = 2 };
+
 struct Loader {
   std::vector<std::string> paths;
+  std::vector<std::string> aux_paths;
   int batch, height, width, threads, shuffle, drop_last;
+  int aux_mode = AUX_NONE;
+  int random_crop = 1;  // AUX_CROP: random (train/val) vs center (test)
   unsigned seed;
+  int epoch = 0;
 
   std::vector<size_t> order;
   std::atomic<size_t> next_index{0};
   size_t epoch_batches = 0;
 
-  // ring of ready batches
+  struct Batch {
+    std::vector<uint8_t> img;
+    std::vector<int32_t> aux;
+  };
+
+  // bounded reorder window of ready batches, delivered strictly in batch
+  // order (a completion-order FIFO makes batch order depend on thread
+  // scheduling even with shuffle=false — observed as flaky decode order
+  // under CPU contention)
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
-  std::queue<std::vector<uint8_t>> ready;
+  std::map<size_t, Batch> ready;  // batch index -> frames
   size_t max_ready = 4;
-  size_t produced = 0, consumed = 0;
+  size_t consumed = 0;
   bool stopping = false;
 
   std::vector<std::thread> workers;
 
   size_t frame_bytes() const { return size_t(height) * width * 3; }
+  size_t aux_elems() const { return size_t(height) * width; }
 
-  void start_epoch(int epoch) {
+  void start_epoch(int ep) {
     join_workers();
+    epoch = ep;
     order.resize(paths.size());
     for (size_t i = 0; i < order.size(); ++i) order[i] = i;
     if (shuffle) {
@@ -173,50 +288,116 @@ struct Loader {
     epoch_batches = drop_last ? paths.size() / batch
                               : (paths.size() + batch - 1) / batch;
     next_index = 0;
-    produced = consumed = 0;
+    consumed = 0;
     stopping = false;
-    while (!ready.empty()) ready.pop();
+    ready.clear();
     int n = std::max(1, threads);
     for (int t = 0; t < n; ++t)
       workers.emplace_back([this] { worker_loop(); });
+  }
+
+  // one (image[, aux]) item into preallocated output slots
+  void load_item(size_t idx, uint8_t* img_out, int32_t* aux_out) {
+    Image img;
+    if (!decode_any(paths[order[idx]], &img) || img.h == 0) {
+      memset(img_out, 0, frame_bytes());
+      if (aux_out) memset(aux_out, 0, aux_elems() * sizeof(int32_t));
+      return;
+    }
+    Gray aux;
+    if (aux_mode != AUX_NONE) {
+      Image aux_rgb;
+      if (!decode_any(aux_paths[order[idx]], &aux_rgb) || aux_rgb.h == 0) {
+        aux.h = img.h;
+        aux.w = img.w;
+        aux.y.assign(size_t(img.h) * img.w, 0);
+      } else {
+        rgb_to_gray(aux_rgb, &aux);
+      }
+    }
+    if (aux_mode == AUX_CROP) {
+      // SmallestMaxSize: scale so min side == target side (height == width
+      // here); then one crop window shared by image and mask
+      int s = height;  // square target
+      float scale = float(s) / std::min(img.w, img.h);
+      int rw = std::max(s, int(std::lround(img.w * scale)));
+      int rh = std::max(s, int(std::lround(img.h * scale)));
+      Image rimg;
+      rimg.h = rh;
+      rimg.w = rw;
+      rimg.rgb.resize(size_t(rh) * rw * 3);
+      resize_bilinear(img, rimg.rgb.data(), rh, rw);
+      Gray raux;
+      raux.h = rh;
+      raux.w = rw;
+      raux.y.resize(size_t(rh) * rw);
+      resize_nearest(aux, raux.y.data(), rh, rw);
+      int y0, x0;
+      if (random_crop) {
+        // deterministic per (seed, epoch, item): reproducible epochs,
+        // thread-schedule independent
+        std::mt19937 rng(seed * 2654435761u ^ unsigned(epoch) * 40503u ^
+                         unsigned(order[idx]) * 2246822519u);
+        y0 = int(rng() % unsigned(rh - s + 1));
+        x0 = int(rng() % unsigned(rw - s + 1));
+      } else {
+        y0 = (rh - s) / 2;
+        x0 = (rw - s) / 2;
+      }
+      for (int y = 0; y < s; ++y) {
+        memcpy(img_out + size_t(y) * s * 3,
+               rimg.rgb.data() + (size_t(y0 + y) * rw + x0) * 3,
+               size_t(s) * 3);
+        for (int x = 0; x < s; ++x)
+          aux_out[size_t(y) * s + x] = raux.y[size_t(y0 + y) * rw + x0 + x];
+      }
+      return;
+    }
+    resize_bilinear(img, img_out, height, width);
+    if (aux_mode == AUX_RESIZE) resize_nearest(aux, aux_out, height, width);
   }
 
   void worker_loop() {
     for (;;) {
       size_t b = next_index.fetch_add(1);
       if (b >= epoch_batches) return;
-      std::vector<uint8_t> buf(size_t(batch) * frame_bytes());
+      Batch buf;
+      buf.img.resize(size_t(batch) * frame_bytes());
+      if (aux_mode != AUX_NONE) buf.aux.resize(size_t(batch) * aux_elems());
       for (int i = 0; i < batch; ++i) {
         size_t idx = b * batch + i;
         if (idx >= order.size()) idx = order.size() - 1;  // pad last batch
-        Image img;
-        if (!decode_any(paths[order[idx]], &img) || img.h == 0) {
-          memset(buf.data() + size_t(i) * frame_bytes(), 0, frame_bytes());
-          continue;
-        }
-        resize_bilinear(img, buf.data() + size_t(i) * frame_bytes(), height,
-                        width);
+        load_item(idx, buf.img.data() + size_t(i) * frame_bytes(),
+                  aux_mode == AUX_NONE
+                      ? nullptr
+                      : buf.aux.data() + size_t(i) * aux_elems());
       }
       std::unique_lock<std::mutex> lock(mu);
-      cv_space.wait(lock,
-                    [this] { return ready.size() < max_ready || stopping; });
+      // admit only batches inside the reorder window so memory stays
+      // bounded AND the consumer (which needs batch `consumed` next)
+      // can always make progress
+      cv_space.wait(lock, [this, b] {
+        return b < consumed + max_ready || stopping;
+      });
       if (stopping) return;
-      ready.push(std::move(buf));
-      ++produced;
-      cv_ready.notify_one();
+      ready.emplace(b, std::move(buf));
+      cv_ready.notify_all();
     }
   }
 
-  int next(uint8_t* out) {
+  int next(uint8_t* img_out, int32_t* aux_out) {
     std::unique_lock<std::mutex> lock(mu);
     if (consumed >= epoch_batches) return 0;
-    cv_ready.wait(lock, [this] { return !ready.empty(); });
-    std::vector<uint8_t> buf = std::move(ready.front());
-    ready.pop();
+    cv_ready.wait(lock, [this] { return ready.count(consumed) != 0; });
+    auto it = ready.find(consumed);
+    Batch buf = std::move(it->second);
+    ready.erase(it);
     ++consumed;
-    cv_space.notify_one();
+    cv_space.notify_all();
     lock.unlock();
-    memcpy(out, buf.data(), buf.size());
+    memcpy(img_out, buf.img.data(), buf.img.size());
+    if (aux_out && !buf.aux.empty())
+      memcpy(aux_out, buf.aux.data(), buf.aux.size() * sizeof(int32_t));
     return 1;
   }
 
@@ -252,12 +433,33 @@ void* cp2_loader_create(const char** paths, int n, int batch, int height,
   return l;
 }
 
+// paired streams: images + aux maps (masks / region-id maps)
+// aux_mode: 1 = nearest-resize aux to base (region maps),
+//           2 = SmallestMaxSize + shared crop (finetune image/mask pairs;
+//               random_crop 0 = deterministic center crop for test)
+void* cp2_loader_create_pairs(const char** img_paths, const char** aux_paths,
+                              int n, int batch, int height, int width,
+                              int threads, unsigned seed, int shuffle,
+                              int drop_last, int aux_mode, int random_crop) {
+  auto* l = static_cast<Loader*>(cp2_loader_create(
+      img_paths, n, batch, height, width, threads, seed, shuffle, drop_last));
+  l->aux_paths.assign(aux_paths, aux_paths + n);
+  l->aux_mode = aux_mode;
+  l->random_crop = random_crop;
+  return l;
+}
+
 void cp2_loader_start_epoch(void* handle, int epoch) {
   static_cast<Loader*>(handle)->start_epoch(epoch);
 }
 
 int cp2_loader_next(void* handle, unsigned char* out) {
-  return static_cast<Loader*>(handle)->next(out);
+  return static_cast<Loader*>(handle)->next(out, nullptr);
+}
+
+int cp2_loader_next_pair(void* handle, unsigned char* img_out,
+                         int32_t* aux_out) {
+  return static_cast<Loader*>(handle)->next(img_out, aux_out);
 }
 
 int cp2_loader_len(void* handle) {

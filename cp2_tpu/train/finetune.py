@@ -41,10 +41,18 @@ def get_args(argv=None):
     parser.add_argument('--wandb_project', type=str, default='ssl-pretraining')
     parser.add_argument('--wandb_team', type=str, default=None)
     parser.add_argument('--num_workers', type=int, default=4)
+    parser.add_argument('--native_loader', action='store_true', default=True,
+                        help='use the C++ decode pool when available')
+    parser.add_argument('--no-native_loader', dest='native_loader',
+                        action='store_false')
     parser.add_argument('--fast_dev_run', action='store_true')
     parser.add_argument('--use_profiler', action='store_true')
 
     parser.add_argument('--num_classes', type=int, default=2)
+    parser.add_argument('--visualize_freq', type=int, default=10,
+                        help='epochs between segmentation-overlay artifacts '
+                             '(reference CustomCallback every_n_epochs=10); '
+                             '0 disables')
     parser.add_argument('--lemon_data', action='store_true')
     parser.add_argument('--img_height', default=352, type=int)
     parser.add_argument('--img_width', default=352, type=int)
@@ -148,11 +156,25 @@ def main(args):
         raise ValueError("square images expected for polyp path")
 
     def loader(paths, random_crop, shuffle, seed=0):
+        if getattr(args, "native_loader", False):
+            try:
+                from cp2_tpu.native import NativePairLoader, native_available
+
+                if native_available():
+                    return NativePairLoader(
+                        paths, args.batch_size, (size, size), mode="crop",
+                        random_crop=random_crop, num_classes=args.num_classes,
+                        threads=max(args.num_workers, 1), seed=seed,
+                        shuffle=shuffle, drop_last=shuffle,
+                    )
+            except Exception as e:
+                logger.info(f"native loader unavailable ({e}); using Python loader")
         src = SegmentationDataSource(
             paths, size, args.num_classes, random_crop=random_crop, seed=seed
         )
         return HostDataLoader(
-            src, args.batch_size, shuffle=shuffle, drop_last=shuffle, seed=seed
+            src, args.batch_size, shuffle=shuffle, drop_last=shuffle, seed=seed,
+            num_workers=args.num_workers,
         )
 
     train_loader = loader(splits["train"], True, True, args.seed)
@@ -229,6 +251,38 @@ def main(args):
     jit_train = jax.jit(fused_train_step, donate_argnums=(0, 3))
     jit_eval = jax.jit(eval_with_norm, donate_argnums=(2,))
 
+    # segmentation-overlay artifacts (reference CustomCallback,
+    # finetune.py:86-139: image + gt + prediction grids every n epochs)
+    from cp2_tpu.train.segmentation_task import seg_forward
+
+    def predict(state, images):
+        images = images.astype(jnp.float32) / 255.0
+        _, preds, _ = seg_forward(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, (size, size), train=False,
+        )
+        return preds
+
+    jit_predict = jax.jit(predict)
+
+    def write_overlays(state, epoch):
+        from cp2_tpu.utils.visualize import segmentation_overlay_grid
+
+        try:
+            batch = next(val_loader.epoch_iterator(0))
+        except StopIteration:
+            return
+        preds = np.asarray(jax.device_get(jit_predict(state, batch["image"])))
+        k = min(8, len(preds))
+        path = segmentation_overlay_grid(
+            np.asarray(batch["image"][:k], np.float32) / 255.0,
+            np.asarray(batch["mask"][:k]),
+            preds[:k],
+            os.path.join(run_dir, "visuals", f"segmentations_epoch_{epoch:04d}.png"),
+        )
+        sink.log_images({"Segmentations": path}, step=step)
+
     def run_eval(loader, prefix):
         confusion = ConfusionState.create(args.num_classes)
         losses = []
@@ -258,6 +312,8 @@ def main(args):
     step = 0
     with mesh:
         for epoch in range(args.epochs):
+            if args.visualize_freq > 0 and epoch % args.visualize_freq == 0:
+                write_overlays(state, epoch)
             confusion = ConfusionState.create(args.num_classes)
             t0 = time.time()
             for i, batch in enumerate(train_loader.epoch_iterator(epoch)):

@@ -133,6 +133,7 @@ def main(args):
         return HostDataLoader(
             PretrainDataSource(files, base_hw), args.batch_size,
             shuffle=shuffle, drop_last=shuffle, seed=seed,
+            num_workers=args.num_workers,
         )
 
     train_loader = loader(train_files, True, args.seed)

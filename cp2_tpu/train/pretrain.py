@@ -86,6 +86,11 @@ def get_args(argv=None):
     parser.add_argument('--instance_logits_temp', default=0.2, type=float)
 
     parser.add_argument('--lemon_data', action='store_true')
+    parser.add_argument('--fused_dense_loss', action='store_true', default=None,
+                        help='flash-style Pallas dense loss (defaults on for '
+                             '--lemon_data 512^2 runs, off otherwise)')
+    parser.add_argument('--no-fused_dense_loss', dest='fused_dense_loss',
+                        action='store_false')
     parser.add_argument('--img_height', default=224, type=int)
     parser.add_argument('--img_width', default=224, type=int)
     parser.add_argument('--foreground_min', default=0.5, type=float)
@@ -103,6 +108,9 @@ def get_args(argv=None):
                         dest='weight_decay')
     parser.add_argument('-p', '--print-freq', default=10, type=int, dest='print_freq')
     parser.add_argument('--scalar-freq', default=100, type=int, dest='scalar_freq')
+    parser.add_argument('--visual-freq', default=1, type=int, dest='visual_freq',
+                        help='epochs between visual artifacts (IoU histograms, '
+                             'similarity heatmaps, example grids); 0 disables')
     parser.add_argument('--ckpt-freq', default=100, type=int, dest='ckpt_freq')
     parser.add_argument('--resume', default='', type=str)
     parser.add_argument('--seed', default=0, type=int)
@@ -210,6 +218,11 @@ def main(args):
         use_predictor=args.use_predictor,
         use_avgpool_global=args.use_avgpool_global,
         use_symmetrical_loss=args.use_symmetrical_loss,
+        # lemon runs at 512² (S²=1024): the flash-style kernel avoids the
+        # (N, S², S²) HBM intermediates that dominate at that resolution
+        use_fused_dense_loss=args.fused_dense_loss
+        if args.fused_dense_loss is not None
+        else args.lemon_data,
     )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -227,14 +240,27 @@ def main(args):
     base_hw = (args.img_height + 32, args.img_width + 32)
     source = PretrainDataSource(files, base_hw, with_region_maps=need_region)
 
-    def make_loader(seed):
-        # prefer the native C++ decode pool when usable (no SAM region maps
-        # needed and the toolchain is present); else the Python loader
-        if not need_region and args.native_loader:
+    def make_loader(seed, with_region=False):
+        # prefer the native C++ decode pool when the toolchain is present;
+        # else the Python loader.  Region-map pairing (SAM masks,
+        # reference loader.py:75-83) uses the native pair mode.
+        if args.native_loader:
             try:
-                from cp2_tpu.native import NativePretrainLoader, native_available
+                from cp2_tpu.native import (
+                    NativePairLoader,
+                    NativePretrainLoader,
+                    native_available,
+                )
 
                 if native_available():
+                    if with_region:
+                        from cp2_tpu.data.datasets import region_mask_path
+
+                        return NativePairLoader(
+                            [(f, region_mask_path(f)) for f in files],
+                            args.batch_size, base_hw, mode="region",
+                            threads=max(args.num_workers, 1), seed=seed,
+                        )
                     return NativePretrainLoader(
                         files, args.batch_size, base_hw,
                         threads=max(args.num_workers, 1), seed=seed,
@@ -242,13 +268,21 @@ def main(args):
             except Exception as e:  # fall back silently but log once
                 logger.info(f"native loader unavailable ({e}); using Python loader")
         return HostDataLoader(
-            source, args.batch_size, shuffle=True, drop_last=True, seed=seed
+            source, args.batch_size, shuffle=True, drop_last=True, seed=seed,
+            num_workers=args.num_workers,
         )
 
+    # NativePairLoader yields {"image", "mask"}; the pretrain step expects
+    # {"image", "region_map"} for the foreground stream
+    def _rekey_region(it):
+        for b in it:
+            yield {"image": b["image"], "region_map": b["mask"]}
+
     # three streams: foreground two-crop + two backgrounds (main.py:281-283)
-    loader_fg = make_loader(args.seed)
+    loader_fg = make_loader(args.seed, with_region=need_region)
     loader_bg0 = make_loader(args.seed + 1024)
     loader_bg1 = make_loader(args.seed + 2048)
+    fg_is_pair = need_region and not isinstance(loader_fg, HostDataLoader)
     steps_per_epoch = len(loader_fg)
     if steps_per_epoch == 0:
         raise ValueError("dataset smaller than one batch")
@@ -294,6 +328,23 @@ def main(args):
         if args.metrics_level > 0
         else step_fn
     )
+    # third variant: first batch of a visual epoch additionally returns the
+    # array payloads for the epoch-start artifacts (reference logs example
+    # grids / IoU histograms / similarity heatmaps on the first batch of
+    # each epoch, builder.py:1441-1549)
+    visuals_on = (
+        args.visual_freq > 0
+        and args.metrics_level > 0
+        and args.pretrain_type in (PretrainType.CP2, PretrainType.PROPOSED)
+    )
+    step_fn_visual = (
+        make_pretrain_step(
+            model, tx, hp, os_, bos,
+            metrics_level=2, augment_fn=augment_fn,
+        )
+        if visuals_on
+        else step_fn_metrics
+    )
 
     sample = jnp.zeros((args.batch_size, *hw, 3), jnp.float32)
     state = create_pretrain_state(
@@ -319,8 +370,46 @@ def main(args):
     state = shard_pytree(state, mesh)
     jitted = jax.jit(step_fn, donate_argnums=0)
     jitted_metrics = jax.jit(step_fn_metrics, donate_argnums=0)
+    jitted_visual = (
+        jax.jit(step_fn_visual, donate_argnums=0) if visuals_on else jitted_metrics
+    )
+
+    def write_visuals(metrics, epoch):
+        """Epoch-start artifacts (reference builder.py:1441-1549)."""
+        from cp2_tpu.utils import visualize as viz
+
+        vis = {
+            k.split("/", 1)[1]: np.asarray(jax.device_get(v))
+            for k, v in metrics.items()
+            if k.startswith("_visual/")
+        }
+        if not vis:
+            return
+        out_dir = os.path.join(run_dir, "visuals", f"epoch_{epoch:04d}")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        if "ious" in vis:
+            paths.append(viz.iou_histogram(
+                vis["ious"], os.path.join(out_dir, "iou_histogram.png")))
+            paths.append(viz.iou_histogram(
+                vis["ious_masked"],
+                os.path.join(out_dir, "masked_iou_histogram.png"),
+                title="Histogram of Masked IoU values"))
+        if "logits_dense" in vis:
+            s2 = vis["logits_dense"].shape[1]
+            g = int(round(s2 ** 0.5))
+            k = min(4, vis["logits_dense"].shape[0])
+            paths.append(viz.dense_similarity_heatmaps(
+                vis["logits_dense"][:k], vis["mask_a"][:k], vis["mask_b"][:k],
+                (g, g), os.path.join(out_dir, "similarity_heatmaps.png")))
+        if "img_a" in vis:
+            paths.append(viz.example_grid(
+                {"img_a": vis["img_a"][:8], "img_b": vis["img_b"][:8]},
+                os.path.join(out_dir, "train_examples.png")))
+        metrics_sink.log_images({"visuals": paths}, step=step)
 
     step = int(state.step)
+    epoch_meters: dict = {}
     with mesh:
         for epoch in range(start_epoch, args.epochs):
             batch_time = AverageMeter("Time", ":6.3f")
@@ -335,8 +424,11 @@ def main(args):
                 step=step,
             )
             end = time.time()
+            fg_iter = loader_fg.epoch_iterator(epoch)
+            if fg_is_pair:
+                fg_iter = _rekey_region(fg_iter)
             iters = zip(
-                loader_fg.epoch_iterator(epoch),
+                fg_iter,
                 loader_bg0.epoch_iterator(epoch),
                 loader_bg1.epoch_iterator(epoch),
             )
@@ -351,20 +443,49 @@ def main(args):
                     raw["region_maps"] = fg["region_map"]
                 raw = shard_batch(raw, mesh)
                 log_now = i % args.scalar_freq == 0 and args.metrics_level > 0
-                run = jitted_metrics if log_now else jitted
+                visual_now = (
+                    visuals_on and i == 0 and epoch % args.visual_freq == 0
+                )
+                run = (
+                    jitted_visual if visual_now
+                    else jitted_metrics if log_now
+                    else jitted
+                )
                 state, metrics = run(
-                    state, raw, jax.random.fold_in(root_key, step)
+                    state, raw, root_key  # per-step fold_in happens in-step
                 )
                 if i % args.print_freq == 0:
                     loss_meter.update(float(metrics["loss"]))
                     batch_time.update(time.time() - end)
                     progress.display(i)
-                if i % args.scalar_freq == 0:
-                    metrics_sink.log(
-                        {k: v for k, v in metrics.items()}, step=step
-                    )
+                if visual_now:
+                    write_visuals(metrics, epoch)
+                if log_now or visual_now:
+                    scalars = {
+                        k: float(v) for k, v in metrics.items()
+                        if not k.startswith("_visual/")
+                    }
+                    metrics_sink.log(scalars, step=step)
+                    # epoch aggregates (reference on_train_epoch_end,
+                    # builder.py:1608-1664): running means of the train/
+                    # scalar families over the logged steps
+                    for k, v in scalars.items():
+                        if k.startswith("train/") and k.endswith("_step"):
+                            epoch_meters.setdefault(
+                                k, AverageMeter(k)
+                            ).update(v)
                 end = time.time()
                 step += 1
+
+            if epoch_meters:
+                metrics_sink.log(
+                    {
+                        k[: -len("_step")]: m.avg
+                        for k, m in epoch_meters.items()
+                    },
+                    step=step,
+                )
+                epoch_meters.clear()
 
             is_last = epoch >= args.epochs - 1
             if (

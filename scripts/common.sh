@@ -9,8 +9,21 @@ DATA_DIR="${DATA_DIR:?set DATA_DIR to the pretrain image directory}"
 mkdir -p "$LOG_DIR"
 
 preflight() {
-  # every experiment runs the test suite first (reference scripts/polyp.sh:16)
+  # every experiment runs the test suite first (reference scripts/polyp.sh:16):
+  # the fast tier plus the slow-critical gates — multi-device equivalence,
+  # SSL step semantics, finetune task — which must RUN, not skip (the
+  # conftest hard-fails if the 8-device CPU mesh is unavailable, so a
+  # mis-configured backend cannot silently skip the gate tests).
   python -m pytest "$REPO/tests" -q -m "not slow"
+  python -m pytest -q \
+    "$REPO/tests/test_multichip.py" \
+    "$REPO/tests/test_ssl_step.py" \
+    "$REPO/tests/test_finetune_task.py"
+}
+
+preflight_full() {
+  # the complete suite (slow tier included) — run routinely, e.g. nightly
+  python -m pytest "$REPO/tests" -q
 }
 
 pretrain() { python -m cp2_tpu.train.pretrain --log_dir "$LOG_DIR" "$@"; }

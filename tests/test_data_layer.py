@@ -112,6 +112,106 @@ def test_native_loader_matches_python_decode(seg_tree):
     assert diff.mean() < 3.0
 
 
+def test_native_loader_batch_order_deterministic(seg_tree):
+    """Batches must arrive in index order regardless of worker scheduling
+    (regression: completion-order FIFO delivered batches out of order
+    under CPU contention)."""
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, _ = seg_tree
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    ld = native.NativePretrainLoader(
+        files, batch_size=2, base_hw=(16, 16), threads=8, shuffle=False
+    )
+    ref = None
+    for trial in range(5):
+        frames = np.concatenate(
+            [b["image"] for b in ld.epoch_iterator(0)], axis=0
+        )
+        if ref is None:
+            ref = frames
+        else:
+            assert np.array_equal(frames, ref)
+
+
+def test_native_pair_loader_matches_python_source(seg_tree):
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    from cp2_tpu.data import SegmentationDataSource
+
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    src = SegmentationDataSource(pairs, 32, num_classes=2, random_crop=False)
+    ld = native.NativePairLoader(
+        pairs, batch_size=4, base_hw=(32, 32), mode="crop",
+        random_crop=False, num_classes=2, threads=3, shuffle=False,
+    )
+    batch = next(ld.epoch_iterator(0))
+    for i in range(4):
+        ref = src.load(i)
+        # same geometry; antialiased resample matches PIL within rounding
+        di = np.abs(batch["image"][i].astype(int) - ref["image"].astype(int))
+        assert di.mean() < 1.0 and di.max() <= 2
+        # mask path (PIL-law nearest + shared crop) is bit-exact
+        assert np.array_equal(batch["mask"][i], ref["mask"])
+
+
+def test_native_pair_loader_region_mode_exact(seg_tree):
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    from cp2_tpu.data.host_loader import _decode_mask
+
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    ld = native.NativePairLoader(
+        pairs, batch_size=4, base_hw=(48, 48), mode="region",
+        threads=2, shuffle=False,
+    )
+    batch = next(ld.epoch_iterator(0))
+    ref = _decode_mask(pairs[0][1], (48, 48))
+    assert np.array_equal(batch["mask"][0], ref)
+
+
+def test_native_pair_loader_crop_rng(seg_tree):
+    """Random crops: deterministic per epoch, different across epochs."""
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    ld = native.NativePairLoader(
+        pairs, batch_size=4, base_hw=(24, 24), mode="crop",
+        random_crop=True, threads=4, shuffle=False,
+    )
+    e0a = next(ld.epoch_iterator(0))["image"].copy()
+    e1 = next(ld.epoch_iterator(1))["image"].copy()
+    e0b = next(ld.epoch_iterator(0))["image"].copy()
+    assert np.array_equal(e0a, e0b)
+    assert not np.array_equal(e0a, e1)
+
+
+def test_host_loader_num_workers_reproducible(seg_tree):
+    """Multi-worker decode must not change batch content (per-item RNG is
+    derived from (seed, epoch, index), not from thread schedule)."""
+    from cp2_tpu.data import HostDataLoader, SegmentationDataSource
+
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    src = SegmentationDataSource(pairs, 32, num_classes=2, random_crop=True)
+    batches = {}
+    for workers in (1, 4):
+        ld = HostDataLoader(
+            src, batch_size=4, seed=3, num_workers=workers
+        )
+        batches[workers] = list(ld.epoch_iterator(2))
+    for b1, b4 in zip(batches[1], batches[4]):
+        assert np.array_equal(b1["image"], b4["image"])
+        assert np.array_equal(b1["mask"], b4["mask"])
+
+
 def test_mmseg_pipeline_end_to_end(seg_tree, tmp_path):
     cv2 = pytest.importorskip("cv2")
     from cp2_tpu.data.custom import CustomDataset
