@@ -120,13 +120,14 @@ def main():
         }
 
     jitted = jax.jit(step_fn, donate_argnums=0)
+    base_key = jax.random.PRNGKey(42)  # per-step fold_in happens in-step
     for i in range(warmup):
-        state, metrics = jitted(state, raw, jax.random.PRNGKey(i))
+        state, metrics = jitted(state, raw, base_key)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, metrics = jitted(state, raw, jax.random.PRNGKey(100 + i))
+        state, metrics = jitted(state, raw, base_key)
     final_loss = float(jax.device_get(metrics["loss"]))  # hard host sync
     dt = time.perf_counter() - t0
     assert final_loss == final_loss, "NaN loss in benchmark"

@@ -102,11 +102,19 @@ def crop_resize_bilinear(
     to noise).  The horizontal flip is a reversal after resampling.
     """
     out_h, out_w = out_hw
-    scale = jnp.stack([out_h / crop.h, out_w / crop.w])
-    translation = jnp.stack(
-        [-crop.y0 * out_h / crop.h, -crop.x0 * out_w / crop.w]
-    )
-    out = jax.image.scale_and_translate(
+    # the horizontal flip folds into the resample matrix as a negative x
+    # scale (sample positions run right-to-left), so no reverse op — and no
+    # second full-image pass — is ever materialized
+    sx = out_w / crop.w
+    scale = jnp.stack([
+        out_h / crop.h,
+        jnp.where(crop.flip, -sx, sx),
+    ])
+    translation = jnp.stack([
+        -crop.y0 * out_h / crop.h,
+        jnp.where(crop.flip, (crop.x0 + crop.w) * sx, -crop.x0 * sx),
+    ])
+    return jax.image.scale_and_translate(
         img,
         (out_h, out_w, img.shape[2]),
         (0, 1),
@@ -115,7 +123,6 @@ def crop_resize_bilinear(
         method="linear",
         antialias=False,
     )
-    return jnp.where(crop.flip, out[:, ::-1], out)
 
 
 def crop_source_indices(

@@ -8,10 +8,14 @@ Re-implements the reference's dataset plumbing:
   FILENAME splits, train-ratio subsampling, and the DDP-divisible
   pseudo-test subset (reference ``datasets/finetune_dataset.py:38-207``).
 
-Split determinism matches the reference exactly: numpy RandomState seeded
-with ``abs(hash(tag)) % 2**31`` — with PYTHONHASHSEED fixed this
-reproduces the reference's membership; regardless of hash seed the splits
-are stable within a run and across processes of one experiment.
+Split determinism: the reference seeds numpy with ``abs(hash(tag)) %
+2**31`` (finetune_dataset.py:52-54), which silently depends on
+PYTHONHASHSEED — two processes of one experiment can disagree on split
+membership.  The rebuild seeds from a STABLE digest (md5 of the tag) by
+default, so membership is reproducible across processes, machines, and
+sessions.  Set ``CP2_COMPAT_HASH_SPLITS=1`` to reproduce the reference's
+``hash()`` behavior bit-for-bit (requires a fixed PYTHONHASHSEED, as the
+reference does implicitly).
 """
 
 from __future__ import annotations
@@ -118,7 +122,14 @@ def list_image_mask_pairs(
 
 
 def _hashed_state(tag: str) -> np.random.RandomState:
-    return np.random.RandomState(abs(hash(tag)) % (2**31))
+    if os.environ.get("CP2_COMPAT_HASH_SPLITS") == "1":
+        # reference semantics (finetune_dataset.py:52-54): PYTHONHASHSEED-
+        # dependent; only meaningful with a pinned hash seed
+        return np.random.RandomState(abs(hash(tag)) % (2**31))
+    import hashlib
+
+    digest = hashlib.md5(tag.encode()).digest()
+    return np.random.RandomState(int.from_bytes(digest[:4], "little") % (2**31))
 
 
 def get_data_splits(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -55,6 +56,67 @@ def make_norm(
     raise ValueError(f"unsupported norm type {kind!r}")
 
 
+class DilatedConv3x3(nn.Module):
+    """3x3 dilated conv ('same' zero padding) as tap-decomposed matmuls.
+
+    At ASPP's dilations the padded window dwarfs the feature grid — with
+    a 14x14 grid and dilation 18, eight of nine taps read ONLY padding
+    zeros, yet ``conv_general_dilated`` still burns MXU cycles on them
+    (profiled: the ASPP branches dominated the CP2 step).  The same conv
+    is exactly: a full-grid 1x1 matmul for the center tap, plus one
+    matmul per off-center tap over just the rows/cols that stay
+    in-bounds (statically known).  Taps whose valid region is empty
+    vanish at trace time; output is bit-equivalent up to accumulation
+    order.
+
+    Parameter tree matches ``nn.Conv`` (``kernel`` of (3, 3, Cin, Cout)
+    HWIO), so checkpoints and converters are unaffected.
+    """
+
+    features: int
+    dilation: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        n, h, w, _ = x.shape
+        d = self.dilation
+        out = jnp.dot(x, kernel[1, 1])  # center tap, full grid
+        for ti, oy in enumerate((-d, 0, d)):
+            for tj, ox in enumerate((-d, 0, d)):
+                if oy == 0 and ox == 0:
+                    continue
+                y0, y1 = max(0, -oy), h - max(0, oy)
+                x0, x1 = max(0, -ox), w - max(0, ox)
+                if y1 <= y0 or x1 <= x0:
+                    continue  # tap entirely out of bounds: contributes 0
+                src = x[:, y0 + oy : y1 + oy, x0 + ox : x1 + ox, :]
+                contrib = jnp.dot(src, kernel[ti, tj])
+                out = out + jax.lax.pad(
+                    contrib,
+                    jnp.zeros((), contrib.dtype),
+                    ((0, 0, 0), (y0, h - y1, 0), (x0, w - x1, 0), (0, 0, 0)),
+                )
+        if bias is not None:
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvModule(nn.Module):
     """conv → norm → activation, NHWC.
 
@@ -82,16 +144,38 @@ class ConvModule(nn.Module):
             # "same"-style padding for odd kernels with dilation
             p = (k - 1) // 2 * self.dilation
             pad = [(p, p)] * 2
-        x = nn.Conv(
-            self.features,
-            (k, k),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.norm_cfg is None,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        # ASPP-style 3x3 convs whose dilation exceeds the feature grid read
+        # ONLY padding zeros on every off-center tap — the conv is exactly a
+        # center-tap 1x1 matmul (9x fewer FLOPs, no padded input).  Partial
+        # decompositions (some taps in-bounds) are NOT worth it: the
+        # per-tap pad/slice ops hit pathological TPU tiling at small
+        # spatial dims and cost more than they save (measured).
+        decompose = (
+            k == 3
+            and self.stride == 1
+            and self.dilation > 1
+            and self.padding in (None, self.dilation)
+            and self.dilation >= max(x.shape[1], x.shape[2])
+        )
+        if decompose:
+            x = DilatedConv3x3(
+                self.features,
+                self.dilation,
+                use_bias=self.norm_cfg is None,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (k, k),
+                strides=(self.stride, self.stride),
+                padding=pad,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=self.norm_cfg is None,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         norm = make_norm(self.norm_cfg, "norm", axis_name=self.axis_name)
         if norm is not None:
             if isinstance(norm, nn.BatchNorm):

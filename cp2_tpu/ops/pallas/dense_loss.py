@@ -7,9 +7,10 @@ product.  At 224² (S²=196) that's small; at the lemon resolution 512²
 (SURVEY §5 flags this as the "attention-like" scaling object).
 
 This kernel computes the loss WITHOUT materializing any (S², S²) tensor
-in HBM: per sample, q/k tiles stream through VMEM, the similarity block
-is formed on the MXU, reduced immediately (softmax-over-queries statistics
-per key column), and discarded.  The backward pass recomputes the block
+in HBM: per (sample, key-tile) grid step a q/k tile pair streams through
+VMEM, the similarity block is formed on the MXU in bfloat16 (f32
+accumulation), reduced immediately (softmax-over-queries statistics per
+key column), and discarded.  The backward pass recomputes the block
 flash-attention-style.
 
 Exploited structure: labels are the mask outer product a_x·b_y, so
@@ -22,19 +23,23 @@ Exploited structure: labels are the mask outer product a_x·b_y, so
 and the gradient w.r.t. logits is
   d[x,y] = (b_y · A · softmax_x(logits/T)[x,y] − a_x · b_y) / (T · A · B · N)
 
-Columns (keys) are tiled to 128 lanes; the query dimension stays resident
-(S² ≤ 4096 fits VMEM alongside the tiles).
+The scalar reductions A, B and the final division live in XLA (they are
+trivially fused); the kernel only produces the un-normalized per-sample
+total and the dq/dk tiles.  Key tiles are 128-lane multiples; the query
+dimension stays resident (S² ≤ 4096 fits VMEM alongside the tiles).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_Y = 512  # key-tile width (lanes); clipped to padded S² when smaller
 
 
 def dense_pair_loss_reference(
@@ -54,85 +59,71 @@ def dense_pair_loss_reference(
     return jnp.mean(num / den)
 
 
-def _fwd_kernel(q_ref, k_ref, a_ref, b_ref, loss_ref, *, temperature, block_y):
-    """One sample: accumulate Σ_y b_y(A·lse_y − s_y) over key tiles.
+def _fwd_kernel(q_ref, k_ref, a_ref, b_ref, total_ref, *, temperature):
+    """One (sample, key-tile): add Σ_y b_y(A·lse_y − s_y) into the total.
 
-    Masks arrive as (1, 1, S2) blocks and the loss leaves through SMEM —
-    layouts chosen to satisfy the TPU (8, 128) tiling rules for any batch.
+    Masks arrive as (1, 1, ·) blocks; the per-sample total leaves as a
+    broadcast 128-lane vector (scalar VMEM stores are not lowerable).
     """
-    q = q_ref[0].astype(jnp.float32)  # (S2, C)
-    a = a_ref[0, 0].astype(jnp.float32)  # (S2,)
-    a2d = a[:, None]
-    s2 = q.shape[0]
+    t = pl.program_id(1)
+    q = q_ref[0]                            # (S2, C) bf16
+    a = a_ref[0, 0].astype(jnp.float32)     # (S2,)
+    kt = k_ref[0]                           # (block_y, C) bf16
+    bt = b_ref[0, 0].astype(jnp.float32)    # (block_y,)
     inv_t = 1.0 / temperature
 
+    logits = jax.lax.dot_general(
+        q, kt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_t  # (S2, block_y) f32
+    m = jnp.max(logits, axis=0)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[None, :]), axis=0))
+    s = jnp.sum(a[:, None] * logits, axis=0)
     asum = jnp.sum(a)
-    total = jnp.zeros((), jnp.float32)
-    bsum = jnp.zeros((), jnp.float32)
+    part = jnp.sum(bt * (asum * lse - s))
 
-    num_tiles = k_ref.shape[1] // block_y
+    @pl.when(t == 0)
+    def _():
+        total_ref[0, 0, :] = jnp.zeros((128,), jnp.float32)
 
-    def body(t, carry):
-        total, bsum = carry
-        kt = k_ref[0, pl.ds(t * block_y, block_y), :].astype(jnp.float32)
-        bt = b_ref[0, 0, pl.ds(t * block_y, block_y)].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, kt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_t  # (S2, block_y)
-        m = jnp.max(logits, axis=0)
-        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[None, :]), axis=0))
-        s = jnp.sum(a2d * logits, axis=0)
-        total = total + jnp.sum(bt * (asum * lse - s))
-        bsum = bsum + jnp.sum(bt)
-        return total, bsum
-
-    total, bsum = jax.lax.fori_loop(0, num_tiles, body, (total, bsum))
-    # vector store (scalar stores to VMEM are not lowerable); host reads lane 0
-    loss_ref[0, 0, :] = jnp.full((128,), total / jnp.maximum(asum * bsum, 1e-12),
-                                 jnp.float32)
+    total_ref[0, 0, :] += jnp.full((128,), part / 128.0, jnp.float32)
 
 
-def _bwd_kernel(q_ref, k_ref, a_ref, b_ref, g_ref, dq_ref, dk_ref,
-                *, temperature, block_y):
-    """Recompute logits per tile; emit dq, dk for one sample."""
-    q = q_ref[0].astype(jnp.float32)
+def _bwd_kernel(q_ref, k_ref, a_ref, b_ref, scale_ref, dq_ref, dk_ref,
+                *, temperature):
+    """Recompute the logits tile; emit the dk tile, accumulate dq."""
+    t = pl.program_id(1)
+    q = q_ref[0]
     a = a_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0, 0]
+    kt = k_ref[0]
+    bt = b_ref[0, 0].astype(jnp.float32)
+    scale = scale_ref[0, 0, 0]  # g / (T·A·B[·N]) for this sample
     inv_t = 1.0 / temperature
     asum = jnp.sum(a)
 
-    num_tiles = k_ref.shape[1] // block_y
+    logits = jax.lax.dot_general(
+        q, kt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_t
+    m = jnp.max(logits, axis=0)
+    p = jnp.exp(logits - m[None, :])
+    p = p / jnp.sum(p, axis=0)[None, :]  # softmax over queries, per column
+    dlogits = ((bt[None, :] * asum) * p - a[:, None] * bt[None, :]) * scale
 
-    # pass 1: B (key-mask total) for the normalizer
-    bsum = jnp.sum(b_ref[0, 0].astype(jnp.float32))
-    scale = g / jnp.maximum(asum * bsum, 1e-12) * inv_t
+    dlogits16 = dlogits.astype(q.dtype)
 
-    dq_ref[0] = jnp.zeros_like(dq_ref[0])
+    @pl.when(t == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
-    def body(t, dq_acc):
-        kt = k_ref[0, pl.ds(t * block_y, block_y), :].astype(jnp.float32)
-        bt = b_ref[0, 0, pl.ds(t * block_y, block_y)].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, kt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * inv_t
-        m = jnp.max(logits, axis=0)
-        p = jnp.exp(logits - m[None, :])
-        p = p / jnp.sum(p, axis=0)[None, :]  # softmax over queries, per column
-        dlogits = (bt[None, :] * asum * p - a[:, None] * bt[None, :]) * scale
-        dq_acc = dq_acc + jax.lax.dot_general(
-            dlogits, kt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk_ref[0, pl.ds(t * block_y, block_y), :] = jax.lax.dot_general(
-            dlogits, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dq_acc
-
-    dq = jax.lax.fori_loop(0, num_tiles, body, jnp.zeros_like(q))
-    dq_ref[0] = dq
+    dq_ref[0] += jax.lax.dot_general(
+        dlogits16, kt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[0] = jax.lax.dot_general(
+        dlogits16, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _pad_to(x, axis, multiple):
@@ -145,82 +136,107 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _dense_pair_loss(q, k, mask_a, mask_b, per_sample_avg, temperature, interpret):
-    out, _ = _fwd(q, k, mask_a, mask_b, per_sample_avg, temperature, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _dense_pair_loss(q, k, mask_a, mask_b, per_sample_avg, temperature,
+                     interpret, compute_dtype):
+    out, _ = _fwd(q, k, mask_a, mask_b, per_sample_avg, temperature,
+                  interpret, compute_dtype)
     return out
 
 
-def _call_fwd(q, k, mask_a, mask_b, temperature, interpret, block_y):
-    n, s2, c = q.shape
-    kernel = functools.partial(_fwd_kernel, temperature=temperature, block_y=block_y)
-    return pl.pallas_call(
+def _prep(q, k, mask_a, mask_b, compute_dtype):
+    """Pad the key axis to the tile width; MXU operands in compute_dtype."""
+    s2k = k.shape[1]
+    block_y = min(_BLOCK_Y, ((s2k + 127) // 128) * 128)
+    q16 = q.astype(compute_dtype)
+    k16 = _pad_to(k.astype(compute_dtype), 1, block_y)
+    a32 = mask_a.astype(jnp.float32)
+    b32 = _pad_to(mask_b.astype(jnp.float32), 1, block_y)
+    return q16, k16, a32, b32, block_y
+
+
+def _call_fwd(q16, k16, a32, b32, temperature, interpret, block_y):
+    n, s2, c = q16.shape
+    tiles = k16.shape[1] // block_y
+    kernel = functools.partial(_fwd_kernel, temperature=temperature)
+    total = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, tiles),
         in_specs=[
-            pl.BlockSpec((1, s2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k.shape[1], c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s2, c), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k.shape[1]), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, block_y, c), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s2), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_y), lambda i, t: (i, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
         interpret=interpret,
-    )(q, k, mask_a[:, None, :], mask_b[:, None, :])
+    )(q16, k16, a32[:, None, :], b32[:, None, :])
+    return jnp.sum(total[:, 0, :], axis=-1)  # undo the /128 lane broadcast
 
 
-def _fwd(q, k, mask_a, mask_b, per_sample_avg, temperature, interpret):
-    block_y = 128
-    q32 = q.astype(jnp.float32)
-    k32 = _pad_to(k.astype(jnp.float32), 1, block_y)
-    a32 = mask_a.astype(jnp.float32)
-    b32 = _pad_to(mask_b.astype(jnp.float32), 1, block_y)
-    per_sample = _call_fwd(q32, k32, a32, b32, temperature, interpret, block_y)[:, 0, 0]
-    loss = jnp.mean(per_sample) if per_sample_avg else jnp.sum(per_sample)
-    return loss, (q32, k32, a32, b32)
-
-
-def _bwd(per_sample_avg, temperature, interpret, residuals, g):
-    q32, k32, a32, b32 = residuals
-    n, s2, c = q32.shape
-    block_y = 128
-    g_per = jnp.broadcast_to(
-        g / n if per_sample_avg else g, (n, 1, 128)
+def _fwd(q, k, mask_a, mask_b, per_sample_avg, temperature, interpret,
+         compute_dtype):
+    q16, k16, a32, b32, block_y = _prep(q, k, mask_a, mask_b, compute_dtype)
+    total = _call_fwd(q16, k16, a32, b32, temperature, interpret, block_y)
+    # the kernel's lse/s terms already carry the 1/T logit scaling
+    denom = jnp.maximum(
+        mask_a.sum(axis=1) * mask_b.sum(axis=1), 1e-12
     ).astype(jnp.float32)
-    kernel = functools.partial(_bwd_kernel, temperature=temperature, block_y=block_y)
+    per_sample = total / denom
+    loss = jnp.mean(per_sample) if per_sample_avg else jnp.sum(per_sample)
+    return loss, (q16, k16, a32, b32, block_y)
+
+
+def _bwd(per_sample_avg, temperature, interpret, compute_dtype, residuals, g):
+    q16, k16, a32, b32, block_y = residuals
+    n, s2, c = q16.shape
+    s2k_pad = k16.shape[1]
+    tiles = s2k_pad // block_y
+    # per-sample chain scale: g / (T·A·B) (·1/N for the mean reduction) —
+    # the extra 1/T is d(logits)/d(sim)
+    denom = jnp.maximum(a32.sum(axis=1) * b32.sum(axis=1), 1e-12) * temperature
+    gscale = (g / n if per_sample_avg else g) / denom  # (n,)
+    scale = jnp.broadcast_to(gscale[:, None, None], (n, 1, 128)).astype(jnp.float32)
+    kernel = functools.partial(_bwd_kernel, temperature=temperature)
     dq, dk = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, tiles),
         in_specs=[
-            pl.BlockSpec((1, s2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k32.shape[1], c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s2, c), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k32.shape[1]), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, block_y, c), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, s2), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_y), lambda i, t: (i, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, s2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k32.shape[1], c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s2, c), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_y, c), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, s2, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, k32.shape[1], c), jnp.float32),
+            jax.ShapeDtypeStruct((n, s2k_pad, c), jnp.float32),
         ],
         interpret=interpret,
-    )(q32, k32, a32[:, None, :], b32[:, None, :], g_per)
-    dk = dk[:, : s2, :]
+    )(q16, k16, a32[:, None, :], b32[:, None, :], scale)
+    dk = dk[:, :s2, :]
     return dq, dk, None, None
 
 
 _dense_pair_loss.defvjp(
-    lambda q, k, a, b, avg, t, interp: _fwd(q, k, a, b, avg, t, interp),
+    lambda q, k, a, b, avg, t, interp, cd: _fwd(q, k, a, b, avg, t, interp, cd),
     _bwd,
 )
 
@@ -233,15 +249,19 @@ def dense_pair_loss(
     temperature: float = 1.0,
     *,
     interpret: Optional[bool] = None,
+    compute_dtype: Any = jnp.bfloat16,
 ) -> jax.Array:
     """Flash-style CP2 dense loss: mean over samples, no (S²,S²) in HBM.
 
     Equivalent to ``dense_pair_loss_reference`` (and to the reference's
     logits/labels formulation) when correspondence weights are all one —
-    the CP2 default.  Gradients flow to ``q`` and ``k``.
+    the CP2 default.  Similarities are formed in bfloat16 on the MXU with
+    float32 accumulation; q/k are unit-norm so the logits error is
+    O(1e-3·1/T).  Gradients flow to ``q`` and ``k``.
     ``interpret`` defaults to True off-TPU (Pallas interpreter), False on
     TPU (compiled Mosaic kernel).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    return _dense_pair_loss(q, k, mask_a, mask_b, True, temperature, interpret)
+    return _dense_pair_loss(q, k, mask_a, mask_b, True, temperature, interpret,
+                            compute_dtype)

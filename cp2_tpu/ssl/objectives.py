@@ -246,6 +246,22 @@ def cp2_objective(
             metrics.update(_dense_stat_metrics(stats))
             metrics.update(_instance_stat_metrics(l_pos, l_neg))
 
+    if metrics_level >= 2:
+        # array payloads for the epoch-start visual artifacts (reference
+        # builder.py:1441-1549: example grids, IoU histograms, similarity
+        # heatmaps); the CLI filters keys starting with "_visual/" out of
+        # the scalar sink and renders them to PNGs instead
+        metrics["_visual/logits_dense"] = logits_dense
+        metrics["_visual/mask_a"] = flat_mask_a
+        metrics["_visual/mask_b"] = flat_mask_b
+        metrics["_visual/img_a"] = img_a
+        metrics["_visual/img_b"] = batch["img_b"] * (
+            (batch["bg1"][..., 0] == 0)[..., None].astype(batch["img_b"].dtype)
+        ) + batch["bg1"]
+        if region_corr is not None:
+            metrics["_visual/ious"] = region_corr["iou"]
+            metrics["_visual/ious_masked"] = region_corr["iou_masked"]
+
     aux = {
         "mutated": q_mutated,
         "enqueue": {"queue": k_pos},

@@ -67,6 +67,11 @@ def make_pretrain_step(
     pt = hp.pretrain_type
 
     def step_fn(state: PretrainState, batch, rng):
+        # derive per-step randomness ON DEVICE from the step counter: callers
+        # pass one fixed base key for the whole run, so the host never
+        # builds/transfers keys per step (each host-side PRNGKey(i) showed up
+        # as its own tiny threefry dispatch between steps in the profile)
+        rng = jax.random.fold_in(rng, state.step)
         aug_rng, dropout_rng = jax.random.split(rng)
         if augment_fn is not None:
             batch = augment_fn(aug_rng, batch)

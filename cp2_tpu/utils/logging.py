@@ -163,6 +163,27 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_images(self, images: Dict[str, Any], step: Optional[int] = None):
+        """Log image artifacts: PNG paths (or lists of paths) per key.
+
+        Paths are recorded in the JSONL row; under wandb they are uploaded
+        as wandb.Image (the reference's image-artifact channel,
+        builder.py:1450-1549, finetune.py:130-139).
+        """
+        step = self._step if step is None else step
+        row = {"_step": step, "_time": time.time()}
+        for k, v in images.items():
+            paths = v if isinstance(v, (list, tuple)) else [v]
+            row[k] = [str(p) for p in paths]
+        self._jsonl.write(json.dumps(row) + "\n")
+        self._jsonl.flush()
+        if self._wandb is not None:
+            payload = {}
+            for k, v in images.items():
+                paths = v if isinstance(v, (list, tuple)) else [v]
+                payload[k] = [self._wandb.Image(str(p)) for p in paths]
+            self._wandb.log(payload, step=step)
+
     def close(self):
         self._jsonl.close()
         if self._wandb is not None:

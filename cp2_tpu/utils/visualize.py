@@ -144,6 +144,32 @@ def correlation_map_panels(
     return res
 
 
+def example_grid(named_batches, save_path: str):
+    """Training-example grid: one column per named image batch.
+
+    Parity with the reference's first-batch example grids
+    (builder.py:687-698,1188-1199: torchvision.make_grid of img_a/img_b/bg
+    to wandb).
+    """
+    plt = _plt()
+    names = list(named_batches)
+    n = min(b.shape[0] for b in named_batches.values())
+    fig, axes = plt.subplots(n, len(names), figsize=(2 * len(names), 2 * n),
+                             squeeze=False)
+    for j, name in enumerate(names):
+        imgs = np.asarray(named_batches[name], dtype=np.float32)
+        for i in range(n):
+            axes[i, j].imshow(np.clip(imgs[i], 0, 1))
+            if i == 0:
+                axes[i, j].set_title(name, fontsize=7)
+            axes[i, j].axis("off")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=100)
+    plt.close(fig)
+    return save_path
+
+
 def segmentation_overlay_grid(
     images: np.ndarray,   # (N, H, W, 3) in [0,1]
     masks: np.ndarray,    # (N, H, W) int

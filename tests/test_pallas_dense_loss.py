@@ -1,4 +1,9 @@
-"""Flash-style dense-loss kernel vs the naive XLA formulation."""
+"""Flash-style dense-loss kernel vs the naive XLA formulation.
+
+Algebra is checked exactly with ``compute_dtype=float32``; the production
+default (bfloat16 MXU operands) is checked against a loose tolerance —
+on TPU the bf16 similarity error is O(1e-3) on unit-norm vectors.
+"""
 
 import numpy as np
 import pytest
@@ -29,8 +34,18 @@ def _inputs(n=2, s2=196, c=32, seed=0):
 def test_forward_matches_reference(temp):
     q, k, a, b = _inputs()
     ref = dense_pair_loss_reference(q, k, a, b, temp)
-    out = dense_pair_loss(q, k, a, b, temp, interpret=True)
+    out = dense_pair_loss(
+        q, k, a, b, temp, interpret=True, compute_dtype=jnp.float32
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_forward_bf16_within_tolerance():
+    q, k, a, b = _inputs(n=1, s2=128, c=16, seed=7)
+    ref = dense_pair_loss_reference(q, k, a, b, 0.2)
+    out = dense_pair_loss(q, k, a, b, 0.2, interpret=True)  # default bf16
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2)
 
 
 @pytest.mark.slow
@@ -41,7 +56,9 @@ def test_gradients_match_reference():
         lambda q, k: dense_pair_loss_reference(q, k, a, b, 0.5), argnums=(0, 1)
     )(q, k)
     our_grads = jax.grad(
-        lambda q, k: dense_pair_loss(q, k, a, b, 0.5, interpret=True),
+        lambda q, k: dense_pair_loss(
+            q, k, a, b, 0.5, interpret=True, compute_dtype=jnp.float32
+        ),
         argnums=(0, 1),
     )(q, k)
     for ours, ref in zip(our_grads, ref_grads):
@@ -55,5 +72,32 @@ def test_nondivisible_key_length_padding():
     # S2 not a multiple of the 128-lane tile: padding must not change the loss
     q, k, a, b = _inputs(n=1, s2=100, c=8, seed=3)
     ref = dense_pair_loss_reference(q, k, a, b, 1.0)
-    out = dense_pair_loss(q, k, a, b, 1.0, interpret=True)
+    out = dense_pair_loss(
+        q, k, a, b, 1.0, interpret=True, compute_dtype=jnp.float32
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_multitile_key_axis():
+    # S2 > one key tile: exercises the 2-D (sample, key-tile) grid with
+    # revisited accumulator blocks
+    q, k, a, b = _inputs(n=1, s2=640, c=16, seed=5)
+    ref = dense_pair_loss_reference(q, k, a, b, 0.5)
+    out = dense_pair_loss(
+        q, k, a, b, 0.5, interpret=True, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
+    gref = jax.grad(
+        lambda q, k: dense_pair_loss_reference(q, k, a, b, 0.5), argnums=(0, 1)
+    )(q, k)
+    gout = jax.grad(
+        lambda q, k: dense_pair_loss(
+            q, k, a, b, 0.5, interpret=True, compute_dtype=jnp.float32
+        ),
+        argnums=(0, 1),
+    )(q, k)
+    for ours, ref_g in zip(gout, gref):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref_g), rtol=1e-4, atol=1e-6
+        )

@@ -1,0 +1,158 @@
+"""Capture + summarize an XLA op profile of the CP2 pretrain step on TPU.
+
+Runs the same fused step as ``bench.py`` under ``jax.profiler`` and prints
+a per-category / per-op time breakdown parsed from the xplane trace via
+the tensorboard_plugin_profile converter (no TensorBoard UI needed).
+
+Usage:  python tools/profile_step.py [--steps N] [--out DIR]
+Env knobs mirror bench.py: BENCH_BATCH / BENCH_HW / BENCH_METRICS_LEVEL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from cp2_tpu.augment import AugmentConfig, pretrain_batch_augment
+    from cp2_tpu.config import Config
+    from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
+    from cp2_tpu.ssl.model import output_stride_of
+    from cp2_tpu.ssl.train_step import (
+        backbone_output_stride_of,
+        make_optimizer,
+        make_pretrain_step,
+    )
+    from cp2_tpu.types import BackboneType, PretrainType
+    import cp2_tpu
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    hw = int(os.environ.get("BENCH_HW", "224"))
+    base = hw + 32
+
+    cfg = Config.fromfile(
+        os.path.join(os.path.dirname(cp2_tpu.__file__), "configs", "config_pretrain.py")
+    )
+    model_cfg = dict(cfg.model)
+    hp = SSLHyperParams.for_variant(PretrainType.CP2)
+    model = SSLEncoder(
+        model_cfg=model_cfg,
+        pretrain_type=PretrainType.CP2,
+        backbone_type=BackboneType.DEEPLABV3,
+        dim=128,
+        dtype=jnp.bfloat16,
+    )
+    tx = make_optimizer("sgd", 1e-3)
+    aug_cfg = AugmentConfig(out_hw=(hw, hw))
+    step_fn = make_pretrain_step(
+        model, tx, hp,
+        output_stride_of(model_cfg),
+        backbone_output_stride_of(model_cfg, BackboneType.DEEPLABV3),
+        metrics_level=int(os.environ.get("BENCH_METRICS_LEVEL", "0")),
+        augment_fn=lambda rng, raw: pretrain_batch_augment(rng, raw, aug_cfg),
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((batch, hw, hw, 3), jnp.float32)
+    state = create_pretrain_state(
+        rng, model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    r = np.random.RandomState(0)
+    raw = {
+        k: jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8))
+        for k in ("fg", "bg0", "bg1")
+    }
+    return jax.jit(step_fn, donate_argnums=0), state, raw
+
+
+def summarize(log_dir: str, top: int = 40):
+    """Parse the xplane file and print self-time by op name/category."""
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:  # older installs
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xplanes = glob.glob(
+        os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not xplanes:
+        print("no xplane.pb found under", log_dir)
+        return
+    xp = max(xplanes, key=os.path.getmtime)
+    data, _ = rtd.xspace_to_tool_data([xp], "op_profile", {})
+    prof = json.loads(data)
+
+    root = prof.get("byProgramExcludeIdle") or prof.get("byCategory") or {}
+    total = root.get("metrics", {}).get("rawTime", 0) or 1
+    util = root.get("metrics", {}).get("flops", 0.0)
+    print(f"== op profile: device-busy {total/1e12:.4f}s, "
+          f"FLOPS util {100*util:.1f}% ==")
+    for prog in root.get("children", []):
+        t = prog.get("metrics", {}).get("rawTime", 0)
+        if t / total < 0.001:
+            continue
+        print(f"PROGRAM {prog['name']}  {100*t/total:.1f}%")
+        cats = sorted(
+            prog.get("children", []),
+            key=lambda c: -(c.get("metrics", {}).get("rawTime", 0)),
+        )
+        for cat in cats:
+            ct = cat.get("metrics", {}).get("rawTime", 0)
+            if ct / total < 0.002:
+                continue
+            cf = cat.get("metrics", {}).get("flops", 0)
+            print(f"  {100*ct/total:6.2f}%  util={100*cf:5.1f}%  {cat['name']}")
+            subs = sorted(
+                cat.get("children", []),
+                key=lambda c: -(c.get("metrics", {}).get("rawTime", 0)),
+            )[:top]
+            for s in subs:
+                st = s.get("metrics", {}).get("rawTime", 0)
+                if st / total > 0.005:
+                    print(f"      {100*st/total:6.2f}%  {s['name']}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--out", default="/tmp/cp2_profile")
+    ap.add_argument("--summarize-only", action="store_true")
+    args = ap.parse_args()
+
+    if not args.summarize_only:
+        import jax
+
+        jitted, state, raw = build_step()
+        key = jax.random.PRNGKey(42)  # per-step fold_in happens in-step
+        # compile + warm up outside the trace
+        for i in range(2):
+            state, metrics = jitted(state, raw, key)
+        jax.block_until_ready(metrics["loss"])
+        jax.profiler.start_trace(args.out)
+        for i in range(args.steps):
+            state, metrics = jitted(state, raw, key)
+        jax.block_until_ready(metrics["loss"])
+        jax.profiler.stop_trace()
+    summarize(args.out)
+
+
+if __name__ == "__main__":
+    main()
