@@ -1,9 +1,11 @@
 """Checkpointing: orbax persistence + the PretrainType conversion matrix."""
 
 from cp2_tpu.checkpoint.io import (
+    gc_checkpoints,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from cp2_tpu.checkpoint.convert import (
     graft_params,
@@ -12,6 +14,8 @@ from cp2_tpu.checkpoint.convert import (
 )
 
 __all__ = [
+    "gc_checkpoints",
+    "wait_for_checkpoints",
     "latest_checkpoint",
     "restore_checkpoint",
     "save_checkpoint",

@@ -112,6 +112,12 @@ def get_args(argv=None):
                         help='epochs between visual artifacts (IoU histograms, '
                              'similarity heatmaps, example grids); 0 disables')
     parser.add_argument('--ckpt-freq', default=100, type=int, dest='ckpt_freq')
+    parser.add_argument('--keep-ckpts', default=0, type=int, dest='keep_ckpts',
+                        help='garbage-collect all but the newest N step '
+                             'checkpoints (0 = keep all, as the reference does)')
+    parser.add_argument('--async-ckpt', action='store_true', dest='async_ckpt',
+                        help='write checkpoints in background threads '
+                             '(training continues during serialization)')
     parser.add_argument('--resume', default='', type=str)
     parser.add_argument('--seed', default=0, type=int)
     parser.add_argument('--metrics_level', default=1, type=int,
@@ -156,9 +162,11 @@ def main(args):
     import cp2_tpu
     from cp2_tpu.augment import AugmentConfig, pretrain_batch_augment
     from cp2_tpu.checkpoint import (
+        gc_checkpoints,
         latest_checkpoint,
         restore_checkpoint,
         save_checkpoint,
+        wait_for_checkpoints,
     )
     from cp2_tpu.config import Config
     from cp2_tpu.data import HostDataLoader, PretrainDataSource, get_pretrain_files
@@ -500,10 +508,17 @@ def main(args):
                         "pretrain_type": args.pretrain_type.name,
                         "backbone_type": args.backbone_type.name,
                     },
+                    async_save=args.async_ckpt,
                 )
                 logger.info(f"saved checkpoint {path}")
+                if args.keep_ckpts > 0:
+                    wait_for_checkpoints()  # never GC around an in-flight save
+                    dropped = gc_checkpoints(run_dir, args.keep_ckpts)
+                    if dropped:
+                        logger.info(f"gc'd checkpoints {dropped}")
             if step > args.max_steps:
                 break
+    wait_for_checkpoints()
     metrics_sink.close()
     return state
 
