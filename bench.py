@@ -119,6 +119,27 @@ def main():
             "bg1": jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8)),
         }
 
+    # BENCH_SCAN=K chains K steps into one lax.scan program: one dispatch
+    # per K steps, so the host's per-call tracing/dispatch cost (~1ms on a
+    # slow host core) amortizes away.  Each scanned step still differs —
+    # per-step randomness comes from fold_in(key, state.step) inside the
+    # step.  The pretrain CLI exposes the same knob as --steps-per-call.
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    if scan_k > 1:
+        inner = step_fn
+        # scan over K stacked batches (leading axis K) so each scanned step
+        # reads a distinct HBM buffer, exactly like a real batch stream
+        raw = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (scan_k,) + a.shape), raw
+        )
+
+        def step_fn(state, raw_k, key):  # noqa: F811 — scan-wrapped variant
+            def body(s, one_raw):
+                s, metrics = inner(s, one_raw, key)
+                return s, metrics["loss"]
+            state, losses = jax.lax.scan(body, state, raw_k)
+            return state, {"loss": losses[-1]}
+
     jitted = jax.jit(step_fn, donate_argnums=0)
     base_key = jax.random.PRNGKey(42)  # per-step fold_in happens in-step
     for i in range(warmup):
@@ -132,7 +153,7 @@ def main():
     dt = time.perf_counter() - t0
     assert final_loss == final_loss, "NaN loss in benchmark"
 
-    ips = batch * steps / dt
+    ips = batch * steps * scan_k / dt
     n_chips = max(jax.device_count(), 1)
     ips_per_chip = ips / n_chips
     print(

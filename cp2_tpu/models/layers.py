@@ -144,18 +144,28 @@ class ConvModule(nn.Module):
             # "same"-style padding for odd kernels with dilation
             p = (k - 1) // 2 * self.dilation
             pad = [(p, p)] * 2
-        # ASPP-style 3x3 convs whose dilation exceeds the feature grid read
-        # ONLY padding zeros on every off-center tap — the conv is exactly a
-        # center-tap 1x1 matmul (9x fewer FLOPs, no padded input).  Partial
-        # decompositions (some taps in-bounds) are NOT worth it: the
-        # per-tap pad/slice ops hit pathological TPU tiling at small
-        # spatial dims and cost more than they save (measured).
+        # ASPP-style 3x3 convs whose dilation approaches the feature grid
+        # mostly read padding zeros, yet XLA burns full 9-tap MXU cycles on
+        # them.  Tap decomposition computes the center as a full-grid 1x1
+        # matmul and each off-center tap only over its statically in-bounds
+        # sliver (pad-reassembled).  Gate on the useful-FLOP fraction of the
+        # padded conv: at 14x14, d=18 -> 0.11, d=12 -> 0.18, d=6 -> 0.51
+        # (all measured faster decomposed: 1.25-1.27x fwd+bwd for the
+        # partial cases, tools/bench_dilated_conv.py) while d=2 -> 0.82
+        # (pad overhead beats the 18% FLOP saving — stays on the XLA conv).
+        d = self.dilation
+        if x.ndim == 4 and k == 3:
+            fy = max(0, x.shape[1] - d) / x.shape[1]
+            fx = max(0, x.shape[2] - d) / x.shape[2]
+            useful_frac = (1 + 2 * fy + 2 * fx + 4 * fy * fx) / 9
+        else:
+            useful_frac = 1.0
         decompose = (
             k == 3
             and self.stride == 1
-            and self.dilation > 1
-            and self.padding in (None, self.dilation)
-            and self.dilation >= max(x.shape[1], x.shape[2])
+            and d > 1
+            and self.padding in (None, d)
+            and useful_frac <= 0.55
         )
         if decompose:
             x = DilatedConv3x3(

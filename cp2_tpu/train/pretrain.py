@@ -122,6 +122,12 @@ def get_args(argv=None):
     parser.add_argument('--seed', default=0, type=int)
     parser.add_argument('--metrics_level', default=1, type=int,
                         help='0=loss only, 1=reference scalar families')
+    parser.add_argument('--steps-per-call', default=1, type=int,
+                        dest='steps_per_call',
+                        help='chain K quiet steps into one lax.scan dispatch '
+                             '(amortizes host per-call overhead; logging '
+                             'steps still run singly). max_steps may '
+                             'overshoot by up to K-1.')
     parser.add_argument('--imagenet_checkpoint', default='', type=str,
                         help='local torchvision resnet50 checkpoint for ImageNet init')
     parser.add_argument('--bf16', action='store_true', default=True)
@@ -381,6 +387,18 @@ def main(args):
     jitted_visual = (
         jax.jit(step_fn_visual, donate_argnums=0) if visuals_on else jitted_metrics
     )
+    scan_k = max(1, args.steps_per_call)
+    if scan_k > 1:
+        # K steps per dispatch: scan over K stacked batches; per-step
+        # randomness still derives from fold_in(key, state.step) in-step
+        def scan_step(state, raw_k, key):
+            def body(s, one_raw):
+                s, m = step_fn(s, one_raw, key)
+                return s, m["loss"]
+            state, losses = jax.lax.scan(body, state, raw_k)
+            return state, {"loss": losses[-1]}
+
+        jitted_scan = jax.jit(scan_step, donate_argnums=0)
 
     def write_visuals(metrics, epoch):
         """Epoch-start artifacts (reference builder.py:1441-1549)."""
@@ -441,6 +459,20 @@ def main(args):
                 loader_bg1.epoch_iterator(epoch),
             )
             metrics = None
+            chunk: list = []
+
+            def flush_chunk():
+                """Dispatch the buffered quiet steps as one scanned call."""
+                nonlocal state, metrics, step
+                if not chunk:
+                    return
+                raw_k = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *chunk
+                )
+                state, metrics = jitted_scan(state, raw_k, root_key)
+                step += len(chunk)
+                chunk.clear()
+
             for i, (fg, bg0, bg1) in enumerate(iters):
                 if step > args.max_steps:
                     break
@@ -454,6 +486,15 @@ def main(args):
                 visual_now = (
                     visuals_on and i == 0 and epoch % args.visual_freq == 0
                 )
+                if scan_k > 1 and not (
+                    log_now or visual_now or i % args.print_freq == 0
+                ):
+                    chunk.append(raw)
+                    if len(chunk) == scan_k:
+                        flush_chunk()
+                    end = time.time()
+                    continue
+                flush_chunk()  # keep step order before a singly-run step
                 run = (
                     jitted_visual if visual_now
                     else jitted_metrics if log_now
@@ -484,6 +525,7 @@ def main(args):
                             ).update(v)
                 end = time.time()
                 step += 1
+            flush_chunk()  # partial chunk at epoch end
 
             if epoch_meters:
                 metrics_sink.log(

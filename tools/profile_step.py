@@ -130,6 +130,53 @@ def summarize(log_dir: str, top: int = 40):
                     print(f"      {100*st/total:6.2f}%  {s['name']}")
 
 
+def summarize_hlo(log_dir: str, top: int = 45):
+    """Top self-time HLO ops with their source attribution."""
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xplanes = glob.glob(
+        os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not xplanes:
+        return
+    xp = max(xplanes, key=os.path.getmtime)
+    data, _ = rtd.xspace_to_tool_data([xp], "hlo_stats", {})
+    prof = json.loads(data)
+    # gviz table: cols describe fields, rows carry values
+    cols = [c["label"] for c in prof["cols"]]
+    idx = {label: i for i, label in enumerate(cols)}
+
+    def get(row, label):
+        cell = row["c"][idx[label]]
+        return cell.get("v") if cell else None
+
+    rows = []
+    for r in prof["rows"]:
+        rows.append({
+            "cat": get(r, "HLO op category"),
+            "name": (get(r, "HLO op name") or "")[:46],
+            "expr": (get(r, "HLO op text") or "")[:130],
+            "fw": (get(r, "Framework op name") or "")[:60],
+            "n": get(r, "#Occurrences"),
+            "self_us": float(get(r, "Total self time (us)") or 0.0),
+            "bound": get(r, "Bound by") or "",
+            "bw": get(r, "Measured memory BW (GiB/s)"),
+            "src": get(r, "Source Info") or "",
+        })
+    rows.sort(key=lambda r: -r["self_us"])
+    total = sum(r["self_us"] for r in rows) or 1.0
+    print("\n== hlo_stats: top self-time ops ==")
+    for r in rows[:top]:
+        print(f"{100*r['self_us']/total:6.2f}%  {r['self_us']:9.0f}us  "
+              f"x{r['n']:<4} {r['cat']:<20.20} {r['name']:<40.40} "
+              f"bound={r['bound']:<8.8} bw={r['bw']} {r['src']} {r['fw']}")
+        if r["expr"]:
+            print(f"          {r['expr']}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6)
@@ -152,6 +199,7 @@ def main():
         jax.block_until_ready(metrics["loss"])
         jax.profiler.stop_trace()
     summarize(args.out)
+    summarize_hlo(args.out)
 
 
 if __name__ == "__main__":
