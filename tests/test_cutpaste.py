@@ -51,6 +51,56 @@ def test_cutpaste_mirror_shares_patch_pixels():
             )
 
 
+@pytest.mark.slow
+def test_regular_patch_geometry_matches_reference_law():
+    """Distributional fidelity vs the reference sampler
+    (pretrain_dataset.py:290-318): REGULAR patch area fraction is
+    area_scale ~ U(min,max) and aspect ~ U(1/3, 4/3); the device op must
+    reproduce the same area-fraction and bounding-box-aspect laws."""
+    hw = 64
+    cfg = CutPasteConfig(num_classes=2, max_num_patches=1)
+    fracs, aspects = [], []
+    run = jax.jit(lambda r, x: cutpaste_batch(r, x, None, cfg))
+    imgs = _images(32, hw=hw)
+    for seed in range(8):
+        out = run(jax.random.PRNGKey(seed), imgs)
+        masks = np.asarray(out["mask"])
+        classes = np.asarray(out["target"])
+        for i in range(len(classes)):
+            if classes[i] == 0:
+                continue
+            m = masks[i] > 0
+            if not m.any():
+                continue
+            fracs.append(m.mean())
+            ys, xs = np.nonzero(m)
+            bh = ys.max() - ys.min() + 1
+            bw = xs.max() - xs.min() + 1
+            aspects.append(bw / bh)
+    fracs, aspects = np.asarray(fracs), np.asarray(aspects)
+    assert len(fracs) > 100
+
+    # reference law, transliterated (numpy): patch = int(sqrt(A/ar)) x
+    # int(h*ar) at integer positions -> same area-fraction distribution
+    r = np.random.RandomState(0)
+    ref_fracs = []
+    for _ in range(1000):
+        scale = r.uniform(cfg.min_area_scale, cfg.max_area_scale)
+        ar = r.uniform(cfg.min_aspect_ratio, cfg.max_aspect_ratio)
+        area = int(hw * hw * scale)
+        ph = int(np.sqrt(area / ar))
+        pw = int(ph * ar)
+        ref_fracs.append(ph * pw / (hw * hw))
+    ref_fracs = np.asarray(ref_fracs)
+
+    assert abs(fracs.mean() - ref_fracs.mean()) < 0.02, (
+        fracs.mean(), ref_fracs.mean())
+    assert abs(np.median(fracs) - np.median(ref_fracs)) < 0.02
+    # aspect bounds (integer truncation gives a little slack)
+    assert aspects.min() >= cfg.min_aspect_ratio * 0.7
+    assert aspects.max() <= cfg.max_aspect_ratio * 1.3
+
+
 def test_scar_patches_are_thin_and_rotated():
     cfg = CutPasteConfig(
         num_classes=3, max_num_patches=1, min_rotation=30, max_rotation=60
