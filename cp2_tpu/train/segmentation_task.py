@@ -35,7 +35,14 @@ def create_seg_state(
     rng: jax.Array, model, tx: optax.GradientTransformation, sample: jax.Array,
     init_params: Any = None, init_batch_stats: Any = None,
 ) -> SegTrainState:
-    variables = model.init(rng, sample, train=False)
+    # flax only materializes params for called submodules: run the aux head
+    # during init when the segmentor has one, else its params never exist
+    init_kwargs = (
+        {"with_aux": True}
+        if getattr(model, "auxiliary_head", None) is not None
+        else {}
+    )
+    variables = model.init(rng, sample, train=False, **init_kwargs)
     params = init_params if init_params is not None else variables["params"]
     batch_stats = (
         init_batch_stats if init_batch_stats is not None
@@ -50,20 +57,29 @@ def create_seg_state(
 
 
 def seg_forward(model, variables, images, image_hw, *, train: bool, rngs=None,
-                mutable=False):
+                mutable=False, with_aux: bool = False):
     """Logits at label resolution + argmax prediction
-    (reference segment_network.py:219-231)."""
+    (reference segment_network.py:219-231).  With ``with_aux`` also
+    returns the auxiliary head's resized logits (mmseg
+    ``_auxiliary_head_forward_train`` semantics)."""
     out = model.apply(
         variables, images, train=train,
         mutable=["batch_stats"] if mutable else False,
-        rngs=rngs,
+        rngs=rngs, with_aux=with_aux,
     )
     if mutable:
         logits, mutated = out
     else:
         logits, mutated = out, None
+    aux_logits = None
+    if with_aux:
+        logits, aux_logits = logits
+        aux_logits = resize_bilinear(aux_logits.astype(jnp.float32), image_hw)
     logits = resize_bilinear(logits.astype(jnp.float32), image_hw)
-    return logits, jnp.argmax(logits, axis=-1), mutated
+    preds = jnp.argmax(logits, axis=-1)
+    if with_aux:
+        return logits, aux_logits, preds, mutated
+    return logits, preds, mutated
 
 
 def make_seg_steps(
@@ -73,26 +89,43 @@ def make_seg_steps(
     image_hw: Tuple[int, int],
     *,
     frozen_mask: Any = None,
+    aux_loss_weight: float = 0.4,
 ):
     """Build (train_step, eval_step).
 
     ``frozen_mask``: pytree of bools marking params to freeze
     (--linear_evaluation, reference finetune.py:219-222) — their gradients
     are zeroed, which composes with any optimizer.
+
+    When the segmentor has an ``auxiliary_head``, its CE loss is added
+    with ``aux_loss_weight`` during training only (mmseg
+    ``encoder_decoder.forward_train`` + ``_auxiliary_head_forward_train``;
+    0.4 is the standard mmseg aux weight).  Inference ignores it.
     """
     binary = num_classes == 2
     ignore = None if binary else BACKGROUND_CLASS
+    has_aux = getattr(model, "auxiliary_head", None) is not None
 
     def train_step(state: SegTrainState, batch, rng, confusion: ConfusionState):
         images, masks = batch["image"], batch["mask"]
 
         def loss_fn(params):
-            logits, preds, mutated = seg_forward(
-                model,
-                {"params": params, "batch_stats": state.batch_stats},
-                images, image_hw, train=True, rngs={"dropout": rng}, mutable=True,
-            )
-            loss = softmax_cross_entropy(logits, masks)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if has_aux:
+                logits, aux_logits, preds, mutated = seg_forward(
+                    model, variables, images, image_hw, train=True,
+                    rngs={"dropout": rng}, mutable=True, with_aux=True,
+                )
+                loss = softmax_cross_entropy(logits, masks)
+                loss = loss + aux_loss_weight * softmax_cross_entropy(
+                    aux_logits, masks
+                )
+            else:
+                logits, preds, mutated = seg_forward(
+                    model, variables, images, image_hw, train=True,
+                    rngs={"dropout": rng}, mutable=True,
+                )
+                loss = softmax_cross_entropy(logits, masks)
             return loss, (preds, mutated)
 
         (loss, (preds, mutated)), grads = jax.value_and_grad(

@@ -65,6 +65,51 @@ def test_seg_train_and_eval_step():
     assert 0.0 <= float(out["val_BinaryJaccardIndex"]) <= 1.0
 
 
+@pytest.mark.slow
+def test_auxiliary_head_trains():
+    """EncoderDecoder with an auxiliary FCN head: the aux CE joins the
+    train loss (weight 0.4, mmseg _auxiliary_head_forward_train) and the
+    aux head's params receive gradient updates."""
+    cfg = dict(
+        TINY_SEG,
+        auxiliary_head=dict(
+            type="FCNHead",
+            in_channels=32,   # stage 3 of the tiny ResNet-18
+            in_index=2,
+            channels=8,
+            num_convs=1,
+            num_classes=2,
+            norm_cfg=dict(type="BN"),
+        ),
+    )
+    model = build_segmentor(cfg)
+    tx = optax.adam(1e-2)
+    sample = jnp.zeros((2, HW, HW, 3), jnp.float32)
+    state = create_seg_state(jax.random.PRNGKey(0), model, tx, sample)
+    assert "auxiliary_head" in state.params
+    train_step, _, _ = make_seg_steps(model, tx, 2, (HW, HW))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(2, HW, HW, 3).astype(np.float32)),
+        "mask": jnp.asarray((rng.rand(2, HW, HW) > 0.5).astype(np.int32)),
+    }
+    state1, _, m = jax.jit(train_step)(
+        state, batch, jax.random.PRNGKey(1), ConfusionState.create(2)
+    )
+    assert np.isfinite(float(m["loss"]))
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(
+            lambda a, b: a - b,
+            state1.params["auxiliary_head"],
+            state.params["auxiliary_head"],
+        ),
+        0.0,
+    )
+    assert moved > 0.0
+
+
 def test_confusion_metrics_binary_hand_example():
     # preds:  [1,1,0,0], targets: [1,0,1,0] -> tp=1 fp=1 fn=1 tn=1
     state = ConfusionState.create(2).update(
