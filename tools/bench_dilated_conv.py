@@ -76,11 +76,26 @@ def main():
         print(f"  {label} d={d}: {dt*1e6:8.0f} us/fwd+bwd  loss={float(loss):.1f}")
         return dt
 
-    for d in (6, 12, 18):
-        print(f"dilation {d} @ {hw}x{hw}, {cin}->{cout}:")
-        t_ref = bench(conv_xla, d, "xla ")
-        t_pad = bench(conv_pad, d, "pad ")
-        print(f"  speedup pad: {t_ref/t_pad:.2f}x")
+    import itertools
+
+    shapes = [(2048, 512, (6, 12, 18))]
+    if os.environ.get("BENCH_D2", "0") == "1":
+        # ResNet stage-4 3x3 convs at OS16 (dilation 2, 512ch): useful
+        # fraction 0.82 — measure whether decomposition still wins
+        shapes = [(512, 512, (2,))]
+    for cin_, cout_, ds in shapes:
+        if (cin_, cout_) != (cin, cout):
+            x = jnp.asarray(
+                r.randn(n, hw, hw, cin_).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            kern = jnp.asarray(
+                r.randn(3, 3, cin_, cout_).astype(np.float32) * 0.01
+            )
+        for d in ds:
+            print(f"dilation {d} @ {hw}x{hw}, {cin_}->{cout_}:")
+            t_ref = bench(conv_xla, d, "xla ")
+            t_pad = bench(conv_pad, d, "pad ")
+            print(f"  speedup pad: {t_ref/t_pad:.2f}x")
 
 
 if __name__ == "__main__":
