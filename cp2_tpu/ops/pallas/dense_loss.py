@@ -263,5 +263,9 @@ def dense_pair_loss(
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if q.shape != k.shape:
+        # the backward pass slices dk back to the query length — CP2 always
+        # pairs same-grid views, so reject silently-wrong ragged inputs
+        raise ValueError(f"q/k shape mismatch: {q.shape} vs {k.shape}")
     return _dense_pair_loss(q, k, mask_a, mask_b, True, temperature, interpret,
                             compute_dtype)

@@ -462,15 +462,24 @@ def main(args):
             chunk: list = []
 
             def flush_chunk():
-                """Dispatch the buffered quiet steps as one scanned call."""
+                """Dispatch the buffered quiet steps as one scanned call.
+
+                Partial chunks (epoch end, or a logging step due next) run
+                through the single-step program instead — a scan of a
+                different length would be a whole new XLA compile."""
                 nonlocal state, metrics, step
                 if not chunk:
                     return
-                raw_k = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *chunk
-                )
-                state, metrics = jitted_scan(state, raw_k, root_key)
-                step += len(chunk)
+                if len(chunk) == scan_k:
+                    raw_k = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *chunk
+                    )
+                    state, metrics = jitted_scan(state, raw_k, root_key)
+                    step += len(chunk)
+                else:
+                    for one_raw in chunk:
+                        state, metrics = jitted(state, one_raw, root_key)
+                        step += 1
                 chunk.clear()
 
             for i, (fg, bg0, bg1) in enumerate(iters):
