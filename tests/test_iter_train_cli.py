@@ -77,3 +77,15 @@ evaluation = dict(interval=2, metric="mIoU")
     # the training log records losses and the final mIoU table
     text = (work_dir / "log-train.txt").read_text()
     assert "final eval" in text and "mIoU" in text
+
+    # mmseg resume semantics: --resume-from restores weights + optimizer +
+    # iteration counter and continues to the (raised) max_iters
+    cfg2 = cfg_path.read_text().replace("max_iters=3", "max_iters=5")
+    cfg_path.write_text(cfg2)
+    resume_dir = work_dir / str(max(int(c) for c in ckpts))
+    main(get_args([
+        str(cfg_path), "--work-dir", str(work_dir), "--seed", "0",
+        "--resume-from", str(resume_dir),
+    ]))
+    new_ckpts = {int(d) for d in os.listdir(work_dir) if d.isdigit()}
+    assert 5 in new_ckpts, f"resume did not reach max_iters: {new_ckpts}"

@@ -115,7 +115,13 @@ def main(args):
 
     sample = jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32)
     state = create_seg_state(root_key, model, tx, sample)
-    if args.load_from:
+    start_iter = 0
+    if args.resume_from:
+        # mmseg resume semantics: weights + optimizer + iteration counter
+        # (runner.resume, vs load_from = weights only)
+        state, meta = restore_checkpoint(args.resume_from, state)
+        start_iter = int(meta.get("iter", int(state.step)))
+    elif args.load_from:
         state, _ = restore_checkpoint(args.load_from, state)
     train_step, eval_step, _ = make_seg_steps(
         model, tx, num_classes, (img_size, img_size)
@@ -152,7 +158,7 @@ def main(args):
         out = eval_metrics(*totals, metrics=("mIoU",))
         return {k: np.asarray(v).tolist() for k, v in out.items()}
 
-    it = 0
+    it = start_iter
     epoch = 0
     confusion = ConfusionState.create(num_classes)
     with mesh:
