@@ -296,12 +296,15 @@ def main(args):
         return result
 
     # ---------------- loop ----------------
-    profiler_ctx = None
+    step_timer = None
     if args.use_profiler:
-        from cp2_tpu.utils.profiling import trace as profiler_trace
+        # Lightning profiler="simple" analog (reference finetune.py:232):
+        # wall-clock per-step stats, summarized each epoch.  (A full
+        # jax.profiler trace over whole epochs serializes hundreds of MB —
+        # use tools/profile_step.py for op-level traces.)
+        from cp2_tpu.utils.profiling import StepTimer
 
-        profiler_ctx = profiler_trace(os.path.join(run_dir, "profile"))
-        profiler_ctx.__enter__()
+        step_timer = StepTimer()
 
     best_iou = -1.0
     best_path = None
@@ -318,9 +321,13 @@ def main(args):
             t0 = time.time()
             for i, batch in enumerate(train_loader.epoch_iterator(epoch)):
                 batch = shard_batch(batch, mesh)
+                if step_timer is not None:
+                    step_timer.start()
                 state, confusion, m = jit_train(
                     state, batch, jax.random.fold_in(root_key, step), confusion
                 )
+                if step_timer is not None:
+                    step_timer.stop(probe=m["loss"])
                 step += 1
                 if args.fast_dev_run and i >= 1:
                     break
@@ -353,10 +360,8 @@ def main(args):
                     import shutil
 
                     shutil.rmtree(prev_best, ignore_errors=True)
-            if profiler_ctx is not None and epoch == 0:
-                profiler_ctx.__exit__(None, None, None)
-                profiler_ctx = None
-                logger.info(f"profile written to {run_dir}/profile")
+            if step_timer is not None:
+                logger.info(f"profiler summary: {step_timer.summary()}")
             if args.fast_dev_run:
                 break
 

@@ -209,6 +209,17 @@ def main(args):
     jit_train = jax.jit(fused_train, donate_argnums=(0, 4))
     jit_eval = jax.jit(fused_eval, donate_argnums=(4,))
 
+    step_timer = None
+    if args.use_profiler:
+        # Lightning profiler="simple" analog (reference
+        # mirror_pretrain.py:230): wall-clock per-step stats summarized at
+        # exit.  (A full jax.profiler trace over a whole run produces
+        # hundreds of MB and takes minutes to serialize — use
+        # tools/profile_step.py for op-level traces.)
+        from cp2_tpu.utils.profiling import StepTimer
+
+        step_timer = StepTimer()
+
     best_val = float("inf")
     step = 0
     with mesh:
@@ -221,10 +232,14 @@ def main(args):
             )):
                 frames = shard_batch(b["image"], mesh)
                 mirror_frames = shard_batch(m["image"], mesh)
+                if step_timer is not None:
+                    step_timer.start()
                 state, confusion, metrics = jit_train(
                     state, frames, mirror_frames,
                     jax.random.fold_in(root_key, step), confusion,
                 )
+                if step_timer is not None:
+                    step_timer.stop(probe=metrics["train_loss"])
                 step += 1
                 if args.fast_dev_run and i >= 1:
                     break
@@ -259,6 +274,8 @@ def main(args):
                 logger.info(f"new best val_loss={val_loss:.4f} -> {path}")
             if args.fast_dev_run:
                 break
+    if step_timer is not None:
+        logger.info(f"profiler summary: {step_timer.summary()}")
     sink.close()
     return state
 
