@@ -54,8 +54,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     hw = int(os.environ.get("BENCH_HW", "224"))
     base = hw + 32  # host frames are slightly larger than the crop target
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
 
     cfg = Config.fromfile(
         os.path.join(os.path.dirname(cp2_tpu.__file__), "configs", "config_pretrain.py")
