@@ -267,5 +267,12 @@ def dense_pair_loss(
         # the backward pass slices dk back to the query length — CP2 always
         # pairs same-grid views, so reject silently-wrong ragged inputs
         raise ValueError(f"q/k shape mismatch: {q.shape} vs {k.shape}")
+    if q.shape[1] > 2048:
+        # kernel envelope: the query axis stays VMEM-resident, so the
+        # per-tile f32 logits block is S²·512·4B — beyond S²≈2048 Mosaic
+        # runs out of VMEM (measured: S²=1024 compiles and wins standalone,
+        # S²=4096 fails).  XLA's fused einsum+softmax handles those sizes
+        # well (48ms value+grad at n=64, S²=4096), so fall back.
+        return dense_pair_loss_reference(q, k, mask_a, mask_b, temperature)
     return _dense_pair_loss(q, k, mask_a, mask_b, True, temperature, interpret,
                             compute_dtype)

@@ -87,8 +87,9 @@ def get_args(argv=None):
 
     parser.add_argument('--lemon_data', action='store_true')
     parser.add_argument('--fused_dense_loss', action='store_true', default=None,
-                        help='flash-style Pallas dense loss (defaults on for '
-                             '--lemon_data 512^2 runs, off otherwise)')
+                        help='flash-style Pallas dense loss (opt-in: wins '
+                             'standalone at 512^2 but measured slower inside '
+                             'the full step — see PARITY.md)')
     parser.add_argument('--no-fused_dense_loss', dest='fused_dense_loss',
                         action='store_false')
     parser.add_argument('--img_height', default=224, type=int)
@@ -232,11 +233,12 @@ def main(args):
         use_predictor=args.use_predictor,
         use_avgpool_global=args.use_avgpool_global,
         use_symmetrical_loss=args.use_symmetrical_loss,
-        # lemon runs at 512² (S²=1024): the flash-style kernel avoids the
-        # (N, S², S²) HBM intermediates that dominate at that resolution
-        use_fused_dense_loss=args.fused_dense_loss
-        if args.fused_dense_loss is not None
-        else args.lemon_data,
+        # the flash-style kernel wins standalone at 512² (1.5-1.9x) but
+        # measured ~4% SLOWER inside the full lemon step (the custom-VJP
+        # boundary blocks XLA from fusing the loss into the surrounding
+        # graph, and the dense loss is <1% of a 512² step) — so it is
+        # opt-in everywhere; see PARITY.md for the measurements
+        use_fused_dense_loss=bool(args.fused_dense_loss),
     )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

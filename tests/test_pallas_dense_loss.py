@@ -78,6 +78,23 @@ def test_nondivisible_key_length_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
 
 
+def test_large_s2_falls_back_to_xla():
+    """Beyond the Mosaic VMEM envelope (S² > 2048) dense_pair_loss must
+    transparently use the XLA formulation, value- and grad-intact."""
+    q, k, a, b = _inputs(n=1, s2=2304, c=4, seed=9)
+    ref = dense_pair_loss_reference(q, k, a, b, 0.5)
+    out = dense_pair_loss(q, k, a, b, 0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    g = jax.grad(lambda q: dense_pair_loss(q, k, a, b, 0.5))(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ragged_qk_rejected():
+    q, k, a, b = _inputs(n=1, s2=128, c=8)
+    with pytest.raises(ValueError, match="mismatch"):
+        dense_pair_loss(q, k[:, :100], a, b, 1.0)
+
+
 @pytest.mark.slow
 def test_multitile_key_axis():
     # S2 > one key tile: exercises the 2-D (sample, key-tile) grid with
