@@ -14,6 +14,7 @@ computed — they're cheap elementwise ops and this keeps shapes static).
 
 from __future__ import annotations
 
+import itertools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -234,6 +235,9 @@ def _hsv_to_rgb(h, s, v):
     return jnp.stack([r, g, b], axis=-1)
 
 
+_JITTER_PERMS = tuple(itertools.permutations(range(4)))  # 24 op orders
+
+
 def color_jitter(
     rng: jax.Array,
     img: jax.Array,
@@ -242,27 +246,55 @@ def color_jitter(
     saturation: Tuple[float, float] = (0.6, 1.4),
     hue: Tuple[float, float] = (-0.1, 0.1),
     p: float = 0.8,
+    order_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Brightness/contrast/saturation/hue jitter.
 
     Factor ranges are the (min, max) form — albumentations
     ``A.ColorJitter(0.4, 0.4, 0.4, 0.1)`` corresponds to (0.6, 1.4) etc.
-    Ops apply in fixed b→c→s→h order (the reference shuffles the order
-    per-sample; distributionally near-identical and far kinder to XLA).
+
+    ``order_idx`` (scalar int in [0, 24)) selects the op-composition order
+    via ``lax.switch``.  The reference (torchvision/albumentations)
+    shuffles the order per *call*; callers here sample one order per
+    *batch* and pass it UNBATCHED through vmap, so the switch stays real
+    control flow (one branch executes per step).  A per-sample (batched)
+    index would make vmap execute all 24 branches — don't.  ``None``
+    keeps the fixed b→c→s→h order (order 0, identical to passing 0).
     """
     k_b, k_c, k_s, k_h, k_p = jax.random.split(rng, 5)
-    out = img
-    fb = jax.random.uniform(k_b, minval=brightness[0], maxval=brightness[1])
-    out = jnp.clip(out * fb, 0.0, 1.0)
-    fc = jax.random.uniform(k_c, minval=contrast[0], maxval=contrast[1])
-    mean_gray = jnp.mean(out @ _LUMA)
-    out = _blend(out, mean_gray, fc)
-    fs = jax.random.uniform(k_s, minval=saturation[0], maxval=saturation[1])
-    gray = (out @ _LUMA)[..., None]
-    out = _blend(out, gray, fs)
-    fh = jax.random.uniform(k_h, minval=hue[0], maxval=hue[1])
-    h, s, v = _rgb_to_hsv(out)
-    out = _hsv_to_rgb((h + fh) % 1.0, s, v)
+
+    def op_brightness(x):
+        fb = jax.random.uniform(k_b, minval=brightness[0], maxval=brightness[1])
+        return jnp.clip(x * fb, 0.0, 1.0)
+
+    def op_contrast(x):
+        fc = jax.random.uniform(k_c, minval=contrast[0], maxval=contrast[1])
+        return _blend(x, jnp.mean(x @ _LUMA), fc)
+
+    def op_saturation(x):
+        fs = jax.random.uniform(k_s, minval=saturation[0], maxval=saturation[1])
+        return _blend(x, (x @ _LUMA)[..., None], fs)
+
+    def op_hue(x):
+        fh = jax.random.uniform(k_h, minval=hue[0], maxval=hue[1])
+        h, s, v = _rgb_to_hsv(x)
+        return _hsv_to_rgb((h + fh) % 1.0, s, v)
+
+    ops = (op_brightness, op_contrast, op_saturation, op_hue)
+
+    def composed(perm):
+        def f(x):
+            for i in perm:
+                x = ops[i](x)
+            return x
+        return f
+
+    if order_idx is None:
+        out = composed(_JITTER_PERMS[0])(img)
+    else:
+        out = jax.lax.switch(
+            order_idx, [composed(perm) for perm in _JITTER_PERMS], img
+        )
     apply = jax.random.bernoulli(k_p, p)
     return jnp.where(apply, out, img)
 

@@ -43,26 +43,31 @@ class AugmentConfig:
     erase_scale: Tuple[float, float] = (0.5, 0.8)  # foreground_{min,max}
     erase_ratio: Tuple[float, float] = (0.8, 1.25)
     pixel_ids_stride: int = 1
+    # per-batch random jitter op order (reference shuffles per call). The
+    # lax.switch boundary blocks photometric fusion: measured 3% step cost
+    # (1000.6 vs 1032.5 img/s), so fidelity-over-speed users opt in.
+    jitter_random_order: bool = False
 
 
-def _photometric(rng, img, cfg: AugmentConfig):
+def _photometric(rng, img, cfg: AugmentConfig, order_idx=None):
     k_j, k_g, k_b = jax.random.split(rng, 3)
     img = F.color_jitter(
-        k_j, img, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue, cfg.jitter_p
+        k_j, img, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue,
+        cfg.jitter_p, order_idx=order_idx,
     )
     img = F.to_grayscale(k_g, img, cfg.grayscale_p)
     img = F.gaussian_blur(k_b, img, cfg.blur_sigma, cfg.blur_p)
     return img
 
 
-def _one_view(rng, img, region_map, cfg: AugmentConfig):
+def _one_view(rng, img, region_map, cfg: AugmentConfig, order_idx=None):
     src_hw = img.shape[:2]
     k_crop, k_photo = jax.random.split(rng)
     crop = F.sample_resized_crop(
         k_crop, src_hw, cfg.crop_scale, cfg.crop_ratio, cfg.flip_p
     )
     view = F.crop_resize_bilinear(img, crop, cfg.out_hw)
-    view = _photometric(k_photo, view, cfg)
+    view = _photometric(k_photo, view, cfg, order_idx)
     pixel_ids = F.pixel_ids_from_crop(crop, cfg.out_hw, src_hw, cfg.pixel_ids_stride)
     if region_map is None:
         region_ids = pixel_ids
@@ -89,12 +94,20 @@ def two_crop_augment_batch(
     pixel_ids_a/b, region_ids_a/b (N, H, W) int32.
     """
     n = images.shape[0]
+    k_order, rng = jax.random.split(rng)
     rngs = jax.random.split(rng, n * 2).reshape(n, 2, 2)
+    # one jitter op order per batch+view, UNBATCHED through vmap (a
+    # per-sample order would make vmap execute all 24 switch branches —
+    # reference shuffles per call; per-batch is the same marginal law)
+    if cfg.jitter_random_order:
+        order_a, order_b = jax.random.randint(k_order, (2,), 0, 24)
+    else:
+        order_a = order_b = None
 
     def per_image(keys, img, region):
         img = _to_float(img)
-        a = _one_view(keys[0], img, region, cfg)
-        b = _one_view(keys[1], img, region, cfg)
+        a = _one_view(keys[0], img, region, cfg, order_a)
+        b = _one_view(keys[1], img, region, cfg, order_b)
         return a, b
 
     if region_maps is None:
@@ -116,7 +129,12 @@ def two_crop_augment_batch(
 def background_augment_batch(rng: jax.Array, images: jax.Array, cfg: AugmentConfig):
     """Background stream: crop + photometric + guaranteed erase-to-zero."""
     n = images.shape[0]
+    k_order, rng = jax.random.split(rng)
     rngs = jax.random.split(rng, n)
+    order_idx = (
+        jax.random.randint(k_order, (), 0, 24)  # unbatched: see above
+        if cfg.jitter_random_order else None
+    )
 
     def per_image(key, img):
         img = _to_float(img)
@@ -125,7 +143,7 @@ def background_augment_batch(rng: jax.Array, images: jax.Array, cfg: AugmentConf
             k_crop, img.shape[:2], cfg.crop_scale, cfg.crop_ratio, cfg.flip_p
         )
         view = F.crop_resize_bilinear(img, crop, cfg.out_hw)
-        view = _photometric(k_photo, view, cfg)
+        view = _photometric(k_photo, view, cfg, order_idx)
         return F.random_erase(k_erase, view, cfg.erase_scale, cfg.erase_ratio, 0.0)
 
     return jax.vmap(per_image)(rngs, images)
@@ -151,6 +169,7 @@ class FinetuneAugmentConfig:
     noise_var: Tuple[float, float] = (10.0, 50.0)  # on the 0..255 scale
     distort_p: float = 0.2
     distort_limit: float = 0.3
+    jitter_random_order: bool = False  # see AugmentConfig
 
 
 def finetune_augment_batch(
@@ -161,7 +180,12 @@ def finetune_augment_batch(
 ):
     """Co-augment image+mask batches on device for supervised training."""
     n = images.shape[0]
+    k_order, rng = jax.random.split(rng)
     rngs = jax.random.split(rng, n)
+    order_idx = (
+        jax.random.randint(k_order, (), 0, 24)  # unbatched: see above
+        if cfg.jitter_random_order else None
+    )
 
     def per_image(key, img, mask):
         img = _to_float(img)
@@ -174,7 +198,7 @@ def finetune_augment_batch(
         mask = jnp.where(do_v, mask[::-1], mask)
         img = F.color_jitter(
             k_j, img, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue,
-            cfg.jitter_p,
+            cfg.jitter_p, order_idx=order_idx,
         )
         if cfg.distort_p > 0:
             img, mask = F.grid_distortion(

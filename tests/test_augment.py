@@ -98,6 +98,52 @@ def test_color_jitter_zero_p_is_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(img))
 
 
+def test_color_jitter_order_switch():
+    """Per-batch random op order: order 0 reproduces the fixed b→c→s→h
+    composition exactly; other orders change the output; the unbatched
+    switch index works under vmap (one real branch, not 24 selects)."""
+    img = jnp.asarray(np.random.RandomState(1).rand(8, 8, 3).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    fixed = F.color_jitter(key, img, p=1.0)
+    order0 = F.color_jitter(key, img, p=1.0, order_idx=jnp.asarray(0))
+    # switch vs inline path fuse differently: tolerance for float noise
+    np.testing.assert_allclose(
+        np.asarray(order0), np.asarray(fixed), rtol=1e-4, atol=1e-6
+    )
+    others = [
+        np.asarray(F.color_jitter(key, img, p=1.0, order_idx=jnp.asarray(i)))
+        for i in (1, 7, 23)
+    ]
+    assert any(not np.allclose(o, np.asarray(fixed)) for o in others)
+
+    imgs = jnp.stack([img, img * 0.5])
+
+    @jax.jit
+    def batched(key, imgs):
+        k_o, k_j = jax.random.split(key)
+        order = jax.random.randint(k_o, (), 0, 24)
+        return jax.vmap(
+            lambda im: F.color_jitter(k_j, im, p=1.0, order_idx=order)
+        )(imgs)
+
+    out = batched(jax.random.PRNGKey(9), imgs)
+    assert out.shape == imgs.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_jitter_random_order_config_knob():
+    from cp2_tpu.augment.pipeline import AugmentConfig, background_augment_batch
+
+    imgs = jnp.asarray(
+        (np.random.RandomState(2).rand(2, 40, 40, 3) * 255).astype(np.uint8)
+    )
+    cfg = AugmentConfig(out_hw=(32, 32), jitter_random_order=True)
+    out = jax.jit(
+        lambda r, x: background_augment_batch(r, x, cfg)
+    )(jax.random.PRNGKey(0), imgs)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_gaussian_blur_preserves_mean():
     img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3).astype(np.float32))
     out = F.gaussian_blur(jax.random.PRNGKey(3), img, (1.9, 2.0), p=1.0)
