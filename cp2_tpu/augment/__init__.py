@@ -4,6 +4,7 @@ from cp2_tpu.augment.pipeline import (
     AugmentConfig,
     FinetuneAugmentConfig,
     background_augment_batch,
+    eval_augment_batch,
     finetune_augment_batch,
     pretrain_batch_augment,
     two_crop_augment_batch,
@@ -13,6 +14,7 @@ __all__ = [
     "AugmentConfig",
     "FinetuneAugmentConfig",
     "background_augment_batch",
+    "eval_augment_batch",
     "finetune_augment_batch",
     "pretrain_batch_augment",
     "two_crop_augment_batch",

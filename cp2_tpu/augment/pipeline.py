@@ -217,6 +217,44 @@ def finetune_augment_batch(
     return jax.vmap(per_image)(rngs, images, masks)
 
 
+def eval_augment_batch(
+    rng: jax.Array,
+    images: jax.Array,
+    masks: jax.Array,
+    *,
+    hflip_p: float = 0.5,
+    vflip_p: float = 0.5,
+    distort_p: float = 0.0,
+    distort_limit: float = 0.3,
+):
+    """Val-time augmentations (reference transform_val stacks).
+
+    The reference's *val* loaders are stochastic: polyp applies H/V flips
+    (finetune_dataset.py:325-336), lemon applies HFlip + GridDistortion
+    (:368-377).  Image and mask are co-transformed so metrics remain
+    consistent; images are float in [0, 1].
+    """
+    rngs = jax.random.split(rng, images.shape[0])
+
+    def per_image(key, img, mask):
+        k_h, k_v, k_d = jax.random.split(key, 3)
+        if hflip_p > 0:
+            do_h = jax.random.bernoulli(k_h, hflip_p)
+            img = jnp.where(do_h, img[:, ::-1], img)
+            mask = jnp.where(do_h, mask[:, ::-1], mask)
+        if vflip_p > 0:
+            do_v = jax.random.bernoulli(k_v, vflip_p)
+            img = jnp.where(do_v, img[::-1], img)
+            mask = jnp.where(do_v, mask[::-1], mask)
+        if distort_p > 0:
+            img, mask = F.grid_distortion(
+                k_d, img, mask, distort_limit=distort_limit, p=distort_p
+            )
+        return img, mask
+
+    return jax.vmap(per_image)(rngs, images, masks)
+
+
 def pretrain_batch_augment(
     rng: jax.Array,
     raw: Dict[str, jax.Array],

@@ -179,7 +179,13 @@ class HostDataLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
         host_id, num_hosts = self.shard
-        return idx[host_id::num_hosts]
+        if num_hosts <= 1:
+            return idx
+        # truncate to a multiple of num_hosts BEFORE striding so every
+        # shard yields the same number of batches (hosts must stay in
+        # lockstep — a shard with one extra batch would hang collectives)
+        even = n // num_hosts * num_hosts
+        return idx[:even][host_id::num_hosts]
 
     def _item_rng(self, epoch: int, index: int) -> np.random.RandomState:
         return np.random.RandomState(
@@ -207,9 +213,16 @@ class HostDataLoader:
                         rows = [load_row(i) for i in rows_idx]
                     else:
                         rows = list(pool.map(load_row, rows_idx))
+                    valid = len(rows)
+                    # pad short final batches (drop_last=False) to the full
+                    # batch size so jitted consumers see one static shape;
+                    # "valid" lets eval mask the pad rows back out
+                    while len(rows) < self.batch_size:
+                        rows.append(rows[-1])
                     batch = {
                         k: np.stack([r[k] for r in rows]) for k in rows[0]
                     }
+                    batch["valid"] = np.int32(valid)
                     q.put(batch)
                 q.put(None)
             except BaseException as e:  # surface decode errors, don't hang

@@ -9,7 +9,9 @@ the toolchain or libraries are unavailable (``native_available()``).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 from typing import Iterator, Optional, Sequence, Tuple
 
@@ -17,7 +19,29 @@ import numpy as np
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_THIS_DIR, "loader.cpp")
-_LIB = os.path.join(_THIS_DIR, "libcp2loader.so")
+
+
+def _arch_tag() -> str:
+    """Microarchitecture cache key for the -march=native build.
+
+    The .so is compiled with -march=native; a library built on one host
+    and reused from shared storage on an older CPU dies with SIGILL, so
+    the CPU model participates in the cache filename.
+    """
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "Model")):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha1(model.encode()).hexdigest()[:8]
+    return f"{platform.machine()}_{h}"
+
+
+_LIB = os.path.join(_THIS_DIR, f"libcp2loader_{_arch_tag()}.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
@@ -62,6 +86,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.cp2_loader_set_shard.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
     lib.cp2_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.cp2_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.cp2_loader_next.restype = ctypes.c_int
@@ -98,6 +125,7 @@ class NativePretrainLoader:
         seed: int = 0,
         shuffle: bool = True,
         drop_last: bool = True,
+        shard: Tuple[int, int] = (0, 1),
     ):
         lib = _load()
         if lib is None:
@@ -111,6 +139,8 @@ class NativePretrainLoader:
             arr, len(self.files), batch_size, base_hw[0], base_hw[1],
             threads, seed, int(shuffle), int(drop_last),
         )
+        if shard != (0, 1):
+            lib.cp2_loader_set_shard(self._handle, shard[0], shard[1])
         self._buf = np.empty(
             (batch_size, base_hw[0], base_hw[1], 3), dtype=np.uint8
         )
@@ -121,10 +151,10 @@ class NativePretrainLoader:
     def epoch_iterator(self, epoch: int = 0) -> Iterator[dict]:
         self._lib.cp2_loader_start_epoch(self._handle, epoch)
         while True:
-            ok = self._lib.cp2_loader_next(
+            valid = self._lib.cp2_loader_next(
                 self._handle, self._buf.ctypes.data_as(ctypes.c_char_p)
             )
-            if not ok:
+            if not valid:
                 return
             yield {"image": self._buf.copy()}
 
@@ -165,6 +195,7 @@ class NativePairLoader:
         seed: int = 0,
         shuffle: bool = True,
         drop_last: bool = True,
+        shard: Tuple[int, int] = (0, 1),
     ):
         lib = _load()
         if lib is None:
@@ -184,6 +215,8 @@ class NativePairLoader:
             threads, seed, int(shuffle), int(drop_last),
             self._MODES[mode], int(random_crop),
         )
+        if shard != (0, 1):
+            lib.cp2_loader_set_shard(self._handle, shard[0], shard[1])
         self._img = np.empty((batch_size, base_hw[0], base_hw[1], 3), np.uint8)
         self._aux = np.empty((batch_size, base_hw[0], base_hw[1]), np.int32)
 
@@ -193,19 +226,25 @@ class NativePairLoader:
     def epoch_iterator(self, epoch: int = 0) -> Iterator[dict]:
         self._lib.cp2_loader_start_epoch(self._handle, epoch)
         while True:
-            ok = self._lib.cp2_loader_next_pair(
+            valid = self._lib.cp2_loader_next_pair(
                 self._handle,
                 self._img.ctypes.data_as(ctypes.c_char_p),
                 self._aux.ctypes.data_as(ctypes.c_void_p),
             )
-            if not ok:
+            if not valid:
                 return
             mask = self._aux
             if self.num_classes == 2:
                 mask = (mask > 0).astype(np.int32)
             else:
                 mask = mask.copy()
-            yield {"image": self._img.copy(), "mask": mask}
+            # "valid" counts real rows; rows past it are pad repeats of the
+            # final sample (drop_last=false) and must be excluded from eval
+            yield {
+                "image": self._img.copy(),
+                "mask": mask,
+                "valid": np.int32(valid),
+            }
 
     def __del__(self):
         try:

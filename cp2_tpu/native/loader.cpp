@@ -10,10 +10,15 @@
 //   void* cp2_loader_create(const char** paths, int n, int batch,
 //                           int height, int width, int threads,
 //                           unsigned seed, int shuffle, int drop_last);
+//   void  cp2_loader_set_shard(void*, int shard_id, int num_shards);
 //   void  cp2_loader_start_epoch(void*, int epoch);
-//   int   cp2_loader_next(void*, unsigned char* out);  // 1 ok, 0 epoch end
+//   int   cp2_loader_next(void*, unsigned char* out);  // >0 valid rows, 0 end
 //   int   cp2_loader_len(void*);                        // batches per epoch
 //   void  cp2_loader_destroy(void*);
+//
+// next/next_pair return the number of VALID rows in the delivered batch
+// (the final drop_last=false batch is padded by repeating the last sample;
+// callers must mask rows >= the returned count out of eval statistics).
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 loader.cpp -o libcp2loader.so \
 //        -ljpeg -lpng -lpthread
@@ -250,6 +255,10 @@ struct Loader {
   int random_crop = 1;  // AUX_CROP: random (train/val) vs center (test)
   unsigned seed;
   int epoch = 0;
+  // multi-host data sharding (DistributedSampler equivalent): each host
+  // takes a strided slice of the epoch-truncated index stream, so every
+  // shard sees the same number of batches (lockstep across hosts)
+  int shard_id = 0, num_shards = 1;
 
   std::vector<size_t> order;
   std::atomic<size_t> next_index{0};
@@ -258,6 +267,7 @@ struct Loader {
   struct Batch {
     std::vector<uint8_t> img;
     std::vector<int32_t> aux;
+    int valid = 0;  // rows that are real samples (rest are pad repeats)
   };
 
   // bounded reorder window of ready batches, delivered strictly in batch
@@ -276,6 +286,14 @@ struct Loader {
   size_t frame_bytes() const { return size_t(height) * width * 3; }
   size_t aux_elems() const { return size_t(height) * width; }
 
+  // per-shard sample count: truncate to a multiple of num_shards so all
+  // shards run the same number of batches (the Python HostDataLoader and
+  // the reference's DistributedSampler obey the same law)
+  size_t shard_len() const {
+    if (num_shards <= 1) return paths.size();
+    return paths.size() / num_shards;
+  }
+
   void start_epoch(int ep) {
     join_workers();
     epoch = ep;
@@ -285,8 +303,16 @@ struct Loader {
       std::mt19937 rng(seed + unsigned(epoch));
       std::shuffle(order.begin(), order.end(), rng);
     }
-    epoch_batches = drop_last ? paths.size() / batch
-                              : (paths.size() + batch - 1) / batch;
+    if (num_shards > 1) {
+      std::vector<size_t> mine;
+      mine.reserve(shard_len());
+      size_t even = shard_len() * num_shards;
+      for (size_t i = shard_id; i < even; i += num_shards)
+        mine.push_back(order[i]);
+      order = std::move(mine);
+    }
+    epoch_batches = drop_last ? order.size() / batch
+                              : (order.size() + batch - 1) / batch;
     next_index = 0;
     consumed = 0;
     stopping = false;
@@ -364,6 +390,7 @@ struct Loader {
       Batch buf;
       buf.img.resize(size_t(batch) * frame_bytes());
       if (aux_mode != AUX_NONE) buf.aux.resize(size_t(batch) * aux_elems());
+      buf.valid = int(std::min(size_t(batch), order.size() - b * batch));
       for (int i = 0; i < batch; ++i) {
         size_t idx = b * batch + i;
         if (idx >= order.size()) idx = order.size() - 1;  // pad last batch
@@ -398,7 +425,7 @@ struct Loader {
     memcpy(img_out, buf.img.data(), buf.img.size());
     if (aux_out && !buf.aux.empty())
       memcpy(aux_out, buf.aux.data(), buf.aux.size() * sizeof(int32_t));
-    return 1;
+    return buf.valid;
   }
 
   void join_workers() {
@@ -449,6 +476,12 @@ void* cp2_loader_create_pairs(const char** img_paths, const char** aux_paths,
   return l;
 }
 
+void cp2_loader_set_shard(void* handle, int shard_id, int num_shards) {
+  auto* l = static_cast<Loader*>(handle);
+  l->shard_id = shard_id;
+  l->num_shards = num_shards > 0 ? num_shards : 1;
+}
+
 void cp2_loader_start_epoch(void* handle, int epoch) {
   static_cast<Loader*>(handle)->start_epoch(epoch);
 }
@@ -464,8 +497,8 @@ int cp2_loader_next_pair(void* handle, unsigned char* img_out,
 
 int cp2_loader_len(void* handle) {
   auto* l = static_cast<Loader*>(handle);
-  return l->drop_last ? int(l->paths.size()) / l->batch
-                      : int((l->paths.size() + l->batch - 1) / l->batch);
+  size_t n = l->shard_len();
+  return l->drop_last ? int(n / l->batch) : int((n + l->batch - 1) / l->batch);
 }
 
 void cp2_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -79,17 +79,24 @@ def softmax_cross_entropy(
     logits: jax.Array,
     labels: jax.Array,
     ignore_index: Optional[int] = None,
+    sample_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Mean pixel CE for NHWC logits against integer labels (N, H, W).
 
     Matches torch ``nn.CrossEntropyLoss(reduction='none').mean()`` as used
     by the finetune module (reference segment_network.py:171,237-239).
+    ``sample_mask`` (N,) bool drops whole rows (padded eval batches) from
+    the mean.
     """
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
-    if ignore_index is None:
+    valid = jnp.ones(picked.shape, bool)
+    if ignore_index is not None:
+        valid &= labels != ignore_index
+    if sample_mask is not None:
+        valid &= sample_mask.reshape((-1,) + (1,) * (picked.ndim - 1))
+    if ignore_index is None and sample_mask is None:
         return -jnp.mean(picked)
-    valid = labels != ignore_index
     return -jnp.sum(picked * valid) / jnp.maximum(valid.sum(), 1)
 
 

@@ -40,11 +40,31 @@ class ConfusionState:
     def create(cls, num_classes: int) -> "ConfusionState":
         return cls(matrix=jnp.zeros((num_classes, num_classes), jnp.float32))
 
-    def update(self, preds: jax.Array, targets: jax.Array) -> "ConfusionState":
-        """Accumulate from integer prediction/target maps of equal shape."""
+    def update(
+        self,
+        preds: jax.Array,
+        targets: jax.Array,
+        sample_mask: Optional[jax.Array] = None,
+    ) -> "ConfusionState":
+        """Accumulate from integer prediction/target maps of equal shape.
+
+        ``sample_mask`` (N,) bool excludes padded rows (loaders pad the
+        final drop_last=False batch by repeating the last sample; counting
+        those duplicates would bias val/test IoU).
+        """
         num_classes = self.matrix.shape[0]
         idx = targets.reshape(-1) * num_classes + preds.reshape(-1)
-        counts = jnp.bincount(idx, length=num_classes * num_classes)
+        if sample_mask is None:
+            counts = jnp.bincount(idx, length=num_classes * num_classes)
+        else:
+            w = jnp.broadcast_to(
+                sample_mask.reshape((-1,) + (1,) * (preds.ndim - 1)),
+                preds.shape,
+            ).reshape(-1)
+            counts = jnp.bincount(
+                idx, weights=w.astype(jnp.float32),
+                length=num_classes * num_classes,
+            )
         return ConfusionState(
             matrix=self.matrix + counts.reshape(num_classes, num_classes)
         )

@@ -71,9 +71,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Place a host batch pytree onto the mesh, batch dim sharded."""
+    """Place a host batch pytree onto the mesh, batch dim sharded.
+
+    Scalar leaves (e.g. the loader's ``valid`` row count) are replicated —
+    a rank-0 array cannot carry a batch dimension.
+    """
     sharding = data_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    replicated = replicated_sharding(mesh)
+
+    def put(x):
+        spec = sharding if np.ndim(x) >= 1 else replicated
+        return jax.device_put(x, spec)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def shard_pytree(tree: Any, mesh: Mesh) -> Any:

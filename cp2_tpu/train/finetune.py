@@ -97,7 +97,11 @@ def main(args):
     import optax
 
     import cp2_tpu
-    from cp2_tpu.augment import FinetuneAugmentConfig, finetune_augment_batch
+    from cp2_tpu.augment import (
+        FinetuneAugmentConfig,
+        eval_augment_batch,
+        finetune_augment_batch,
+    )
     from cp2_tpu.checkpoint import (
         latest_checkpoint,
         restore_checkpoint,
@@ -146,7 +150,9 @@ def main(args):
             f"{len(splits['train'])}; clamping to {eff}"
         )
         args.batch_size = eff
-    pseudo = pseudo_test_subset(splits["test"], args.batch_size, 1)
+    # device-divisible pseudo-test subset; the reference divides by its GPU
+    # count (finetune_dataset.py:194-207), here the mesh size
+    pseudo = pseudo_test_subset(splits["test"], args.batch_size, n_dev)
     logger.info(
         f"splits: train={len(splits['train'])} val={len(splits['val'])} "
         f"test={len(splits['test'])} pseudo={len(pseudo)}"
@@ -246,10 +252,26 @@ def main(args):
 
     def eval_with_norm(state, batch, confusion):
         images = batch["image"].astype(jnp.float32) / 255.0
-        return eval_step(state, {"image": images, "mask": batch["mask"]}, confusion)
+        b = dict(batch, image=images)
+        return eval_step(state, b, confusion)
+
+    def eval_with_flips(state, batch, rng, confusion):
+        # the reference's VAL transform is stochastic: polyp flips H+V
+        # (finetune_dataset.py:325-336); lemon flips H + GridDistortion
+        # (:368-377).  Affects best-ckpt selection comparability.
+        images = batch["image"].astype(jnp.float32) / 255.0
+        images, masks = eval_augment_batch(
+            rng, images, batch["mask"],
+            hflip_p=0.5,
+            vflip_p=0.0 if args.lemon_data else 0.5,
+            distort_p=0.2 if args.lemon_data else 0.0,
+        )
+        b = dict(batch, image=images, mask=masks)
+        return eval_step(state, b, confusion)
 
     jit_train = jax.jit(fused_train_step, donate_argnums=(0, 3))
     jit_eval = jax.jit(eval_with_norm, donate_argnums=(2,))
+    jit_eval_flips = jax.jit(eval_with_flips, donate_argnums=(3,))
 
     # segmentation-overlay artifacts (reference CustomCallback,
     # finetune.py:86-139: image + gt + prediction grids every n epochs)
@@ -266,13 +288,23 @@ def main(args):
 
     jit_predict = jax.jit(predict)
 
+    overlay_batch_cache = []
+
     def write_overlays(state, epoch):
         from cp2_tpu.utils.visualize import segmentation_overlay_grid
 
-        try:
-            batch = next(val_loader.epoch_iterator(0))
-        except StopIteration:
-            return
+        # fetch one val batch ONCE and reuse it for every visualization
+        # epoch — drawing from a fresh epoch_iterator each time abandoned a
+        # live loader (worker pool) mid-epoch and re-decoded a full batch
+        if not overlay_batch_cache:
+            try:
+                it = val_loader.epoch_iterator(0)
+                overlay_batch_cache.append(next(it))
+                for _ in it:  # drain so the loader finishes cleanly
+                    pass
+            except StopIteration:
+                return
+        batch = overlay_batch_cache[0]
         preds = np.asarray(jax.device_get(jit_predict(state, batch["image"])))
         k = min(8, len(preds))
         path = segmentation_overlay_grid(
@@ -283,16 +315,25 @@ def main(args):
         )
         sink.log_images({"Segmentations": path}, step=step)
 
-    def run_eval(loader, prefix):
+    eval_key = jax.random.fold_in(root_key, 0x5EED)
+
+    def run_eval(loader, prefix, *, flips=False, epoch=0):
         confusion = ConfusionState.create(args.num_classes)
-        losses = []
-        for batch in loader.epoch_iterator(0):
+        loss_sum = 0.0
+        weight_sum = 0.0
+        for i, batch in enumerate(loader.epoch_iterator(0)):
             batch = shard_batch(batch, mesh)
-            confusion, m = jit_eval(state, batch, confusion)
-            losses.append(float(m["loss"]))
+            if flips:
+                k = jax.random.fold_in(jax.random.fold_in(eval_key, epoch), i)
+                confusion, m = jit_eval_flips(state, batch, k, confusion)
+            else:
+                confusion, m = jit_eval(state, batch, confusion)
+            w = float(m["weight"])
+            loss_sum += float(m["loss"]) * w
+            weight_sum += w
         result = {k: float(v) for k, v in metrics_of(confusion, prefix).items()}
-        if losses:
-            result[f"{prefix}loss"] = float(np.mean(losses))
+        if weight_sum > 0:
+            result[f"{prefix}loss"] = loss_sum / weight_sum
         return result
 
     # ---------------- loop ----------------
@@ -337,7 +378,7 @@ def main(args):
             train_metrics["train_loss"] = float(m["loss"])
             train_metrics["epoch_time"] = time.time() - t0
 
-            val_metrics = run_eval(val_loader, "val_")
+            val_metrics = run_eval(val_loader, "val_", flips=True, epoch=epoch)
             pseudo_metrics = run_eval(pseudo_loader, "pseudotest_") if pseudo else {}
             sink.log({**train_metrics, **val_metrics, **pseudo_metrics, "epoch": epoch},
                      step=step)

@@ -148,13 +148,26 @@ def make_seg_steps(
 
     def eval_step(state: SegTrainState, batch, confusion: ConfusionState):
         images, masks = batch["image"], batch["mask"]
+        n = images.shape[0]
+        # loaders pad the final drop_last=False batch by repeating the last
+        # sample; "valid" counts the real rows and the rest are masked out
+        # of both the loss and the confusion counts
+        valid = batch.get("valid")
+        row_mask = None if valid is None else jnp.arange(n) < valid
         logits, preds, _ = seg_forward(
             model,
             {"params": state.params, "batch_stats": state.batch_stats},
             images, image_hw, train=False,
         )
-        loss = softmax_cross_entropy(logits, masks)
-        return confusion.update(preds, masks), {"loss": loss}
+        loss = softmax_cross_entropy(logits, masks, sample_mask=row_mask)
+        weight = (
+            jnp.float32(n) if row_mask is None
+            else row_mask.sum().astype(jnp.float32)
+        )
+        return (
+            confusion.update(preds, masks, sample_mask=row_mask),
+            {"loss": loss, "weight": weight},
+        )
 
     def metrics_of(confusion: ConfusionState, prefix: str) -> Dict[str, jax.Array]:
         return compute_metrics(

@@ -193,6 +193,76 @@ def test_native_pair_loader_crop_rng(seg_tree):
     assert not np.array_equal(e0a, e1)
 
 
+def test_loaders_pad_final_batch_and_report_valid(seg_tree):
+    """drop_last=False loaders pad the short final batch to a static shape
+    (repeating the last row) and report the true row count in "valid" —
+    eval must be able to mask the pad back out (round-2 advisor finding:
+    padded duplicates biased val/test IoU)."""
+    from cp2_tpu.data import HostDataLoader, SegmentationDataSource
+
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)[:5]
+    src = SegmentationDataSource(pairs, 32, num_classes=2, random_crop=False)
+    hl = HostDataLoader(
+        src, batch_size=4, shuffle=False, drop_last=False, num_workers=2
+    )
+    batches = list(hl.epoch_iterator(0))
+    assert [int(b["valid"]) for b in batches] == [4, 1]
+    last = batches[-1]
+    assert last["image"].shape == (4, 32, 32, 3)
+    for j in range(1, 4):  # pad rows repeat the final sample
+        assert np.array_equal(last["image"][j], last["image"][0])
+
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    nl = native.NativePairLoader(
+        pairs, batch_size=4, base_hw=(32, 32), mode="crop",
+        random_crop=False, num_classes=2, threads=2, shuffle=False,
+        drop_last=False,
+    )
+    nbatches = list(nl.epoch_iterator(0))
+    assert [int(b["valid"]) for b in nbatches] == [4, 1]
+    for j in range(1, 4):
+        assert np.array_equal(nbatches[-1]["image"][j], nbatches[-1]["image"][0])
+
+
+def test_native_loader_shards_lockstep(seg_tree):
+    """Host sharding: disjoint sample sets, identical batch counts per
+    shard (hosts must stay in lockstep), matching the Python loader law
+    (truncate to a multiple of num_shards, then stride)."""
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)  # 16 pairs
+    shards = []
+    for sid in range(2):
+        ld = native.NativePairLoader(
+            pairs, batch_size=4, base_hw=(24, 24), mode="crop",
+            random_crop=False, num_classes=2, threads=2, shuffle=True,
+            seed=7, shard=(sid, 2),
+        )
+        assert len(ld) == 2  # 16 / 2 shards / batch 4
+        frames = np.concatenate(
+            [b["image"] for b in ld.epoch_iterator(0)], axis=0
+        )
+        shards.append(frames)
+    # disjoint: no row of shard 0 appears in shard 1
+    flat0 = {s.tobytes() for s in shards[0]}
+    flat1 = {s.tobytes() for s in shards[1]}
+    assert flat0.isdisjoint(flat1)
+    assert len(flat0 | flat1) == 16
+
+    # python loader sees the same per-shard count law on odd sizes
+    from cp2_tpu.data import HostDataLoader, SegmentationDataSource
+
+    src5 = SegmentationDataSource(pairs[:5], 24, 2, random_crop=False)
+    l0 = HostDataLoader(src5, 2, shuffle=False, drop_last=True, shard=(0, 2))
+    l1 = HostDataLoader(src5, 2, shuffle=False, drop_last=True, shard=(1, 2))
+    assert len(list(l0.epoch_iterator(0))) == len(list(l1.epoch_iterator(0))) == 1
+
+
 def test_host_loader_num_workers_reproducible(seg_tree):
     """Multi-worker decode must not change batch content (per-item RNG is
     derived from (seed, epoch, index), not from thread schedule)."""

@@ -66,6 +66,43 @@ def test_seg_train_and_eval_step():
 
 
 @pytest.mark.slow
+def test_eval_step_masks_padded_rows():
+    """A padded eval batch (loader "valid" < N) must produce exactly the
+    confusion counts and loss of the trimmed batch — pad rows are repeats
+    of the last sample and would otherwise bias val/test IoU."""
+    model = build_segmentor(TINY_SEG)
+    tx = optax.adam(1e-3)
+    sample = jnp.zeros((4, HW, HW, 3), jnp.float32)
+    state = create_seg_state(jax.random.PRNGKey(0), model, tx, sample)
+    _, eval_step, _ = make_seg_steps(model, tx, 2, (HW, HW))
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(3, HW, HW, 3).astype(np.float32)
+    masks = (rng.rand(3, HW, HW) > 0.5).astype(np.int32)
+    # pad 3 -> 4 by repeating the last row, like the loaders do
+    padded = {
+        "image": jnp.asarray(np.concatenate([imgs, imgs[-1:]], 0)),
+        "mask": jnp.asarray(np.concatenate([masks, masks[-1:]], 0)),
+        "valid": jnp.int32(3),
+    }
+    conf_pad, m_pad = jax.jit(eval_step)(state, padded, ConfusionState.create(2))
+    assert float(m_pad["weight"]) == 3.0
+
+    # ground truth: per-sample eval of only the real rows (batch stats are
+    # frozen at eval, so batching does not change the forward)
+    conf_ref = ConfusionState.create(2)
+    for i in range(3):
+        one = {
+            "image": jnp.asarray(np.stack([imgs[i]] * 1)),
+            "mask": jnp.asarray(masks[i : i + 1]),
+        }
+        conf_ref, _ = jax.jit(eval_step)(state, one, conf_ref)
+    np.testing.assert_allclose(
+        np.asarray(conf_pad.matrix), np.asarray(conf_ref.matrix), rtol=0, atol=0.5
+    )
+
+
+@pytest.mark.slow
 def test_auxiliary_head_trains():
     """EncoderDecoder with an auxiliary FCN head: the aux CE joins the
     train loss (weight 0.4, mmseg _auxiliary_head_forward_train) and the

@@ -141,6 +141,13 @@ def main(args):
     def validate():
         totals = [jnp.zeros((num_classes,), jnp.float32) for _ in range(4)]
         for batch in val_loader.epoch_iterator(0):
+            # drop pad rows of the final short batch (loader repeats the
+            # last sample to keep shapes static; counting them biases mIoU)
+            v = int(batch.get("valid", batch["image"].shape[0]))
+            batch = {
+                "image": batch["image"][:v],
+                "mask": batch["mask"][:v],
+            }
             images = jnp.asarray(batch["image"], jnp.float32) / 255.0
             logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
