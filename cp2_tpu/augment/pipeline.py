@@ -170,6 +170,19 @@ class FinetuneAugmentConfig:
     distort_p: float = 0.2
     distort_limit: float = 0.3
     jitter_random_order: bool = False  # see AugmentConfig
+    # A.RandomBrightnessContrast (lemon stack only): img*alpha + beta with
+    # alpha = 1 + U(contrast), beta = U(brightness) (brightness_by_max)
+    bc_p: float = 0.0
+    bc_brightness: Tuple[float, float] = (0.0, 0.5)
+    bc_contrast: Tuple[float, float] = (0.0, 0.5)
+
+
+def lemon_augment_config() -> "FinetuneAugmentConfig":
+    """Lemon-defect train stack (reference finetune_dataset.py:349-367):
+    HFlip + VFlip + GridDistortion(p=0.2) +
+    RandomBrightnessContrast((0,0.5),(0,0.5)) + GaussNoise() —
+    no ColorJitter."""
+    return FinetuneAugmentConfig(jitter_p=0.0, bc_p=0.5)
 
 
 def finetune_augment_batch(
@@ -189,17 +202,28 @@ def finetune_augment_batch(
 
     def per_image(key, img, mask):
         img = _to_float(img)
-        k_h, k_v, k_j, k_n, k_d = jax.random.split(key, 5)
+        k_h, k_v, k_j, k_n, k_d, k_bc = jax.random.split(key, 6)
         do_h = jax.random.bernoulli(k_h, cfg.hflip_p)
         do_v = jax.random.bernoulli(k_v, cfg.vflip_p)
         img = jnp.where(do_h, img[:, ::-1], img)
         mask = jnp.where(do_h, mask[:, ::-1], mask)
         img = jnp.where(do_v, img[::-1], img)
         mask = jnp.where(do_v, mask[::-1], mask)
-        img = F.color_jitter(
-            k_j, img, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue,
-            cfg.jitter_p, order_idx=order_idx,
-        )
+        if cfg.jitter_p > 0:
+            img = F.color_jitter(
+                k_j, img, cfg.brightness, cfg.contrast, cfg.saturation,
+                cfg.hue, cfg.jitter_p, order_idx=order_idx,
+            )
+        if cfg.bc_p > 0:
+            k_a, k_b, k_p = jax.random.split(k_bc, 3)
+            alpha = 1.0 + jax.random.uniform(
+                k_a, minval=cfg.bc_contrast[0], maxval=cfg.bc_contrast[1]
+            )
+            beta = jax.random.uniform(
+                k_b, minval=cfg.bc_brightness[0], maxval=cfg.bc_brightness[1]
+            )
+            do_bc = jax.random.bernoulli(k_p, cfg.bc_p)
+            img = jnp.where(do_bc, jnp.clip(img * alpha + beta, 0.0, 1.0), img)
         if cfg.distort_p > 0:
             img, mask = F.grid_distortion(
                 k_d, img, mask,

@@ -66,28 +66,45 @@ class PretrainDataSource:
 
 
 class SegmentationDataSource:
-    """(image, mask) pairs; host does aspect-preserving resize + crop.
+    """(image, mask) pairs; host does the geometric normalization.
 
-    ``random_crop=True`` reproduces SmallestMaxSize + RandomCrop (train/val
-    transforms, reference finetune_dataset.py:301-337); ``False`` gives
-    the deterministic center crop used for test (:338-349).  Masks are
-    binarized when ``num_classes == 2`` (reference :113-116).
+    ``mode="crop"`` (polyp): aspect-preserving SmallestMaxSize then a
+    shared crop — ``random_crop=True`` reproduces SmallestMaxSize +
+    RandomCrop (train/val transforms, reference
+    finetune_dataset.py:301-337); ``False`` gives the deterministic
+    center crop used for test (:338-349).  ``mode="resize"`` (lemon):
+    direct, aspect-breaking resize to ``image_size`` — the reference's
+    ``A.Resize(544, 1024, INTER_NEAREST)`` (:349-384); non-square sizes
+    are only meaningful here.  Masks are binarized when
+    ``num_classes == 2`` (reference :113-116).
     """
 
     def __init__(
         self,
         pairs: Sequence[Tuple[str, str]],
-        image_size: int,
+        image_size,
         num_classes: int = 2,
         random_crop: bool = True,
         seed: int = 0,
+        mode: str = "crop",
     ):
         self.pairs = list(pairs)
-        self.image_size = image_size
+        if isinstance(image_size, int):
+            image_size = (image_size, image_size)
+        self.image_hw = tuple(image_size)
         self.num_classes = num_classes
         self.random_crop = random_crop
+        if mode not in ("crop", "resize"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "crop" and self.image_hw[0] != self.image_hw[1]:
+            raise ValueError("crop mode requires a square target")
+        self.mode = mode
         self._rng = np.random.RandomState(seed)
         self._rng_lock = threading.Lock()
+
+    @property
+    def image_size(self) -> int:
+        return self.image_hw[0]
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -106,8 +123,16 @@ class SegmentationDataSource:
             img = Image.open(f).convert("RGB")
         with open(mask_path, "rb") as f:
             mask = Image.open(f).convert("L")
-        # reference resizes BOTH with nearest via albumentations; bilinear on
-        # the image is strictly better and distribution-compatible
+        if self.mode == "resize":
+            h, w = self.image_hw
+            # reference resizes BOTH streams nearest via albumentations;
+            # bilinear on the image is strictly better and
+            # distribution-compatible (same deviation as crop mode below)
+            img = np.asarray(img.resize((w, h), Image.BILINEAR), np.uint8)
+            mask = np.asarray(mask.resize((w, h), Image.NEAREST), np.int32)
+            if self.num_classes == 2:
+                mask = (mask > 0).astype(np.int32)
+            return {"image": img, "mask": mask}
         img = self._smallest_max_size(img, Image.BILINEAR)
         mask = self._smallest_max_size(mask, Image.NEAREST)
         s = self.image_size

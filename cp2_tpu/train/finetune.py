@@ -101,6 +101,7 @@ def main(args):
         FinetuneAugmentConfig,
         eval_augment_batch,
         finetune_augment_batch,
+        lemon_augment_config,
     )
     from cp2_tpu.checkpoint import (
         latest_checkpoint,
@@ -157,9 +158,13 @@ def main(args):
         f"splits: train={len(splits['train'])} val={len(splits['val'])} "
         f"test={len(splits['test'])} pseudo={len(pseudo)}"
     )
-    size = args.img_height
+    hw = (args.img_height, args.img_width)
     if args.img_height != args.img_width and not args.lemon_data:
         raise ValueError("square images expected for polyp path")
+    # lemon geometry is a direct aspect-breaking resize (reference
+    # A.Resize(544, 1024), finetune_dataset.py:349-384) — no crop; polyp
+    # is SmallestMaxSize + shared crop (:301-349)
+    geometry = "resize" if args.lemon_data else "crop"
 
     def loader(paths, random_crop, shuffle, seed=0):
         if getattr(args, "native_loader", False):
@@ -168,7 +173,8 @@ def main(args):
 
                 if native_available():
                     return NativePairLoader(
-                        paths, args.batch_size, (size, size), mode="crop",
+                        paths, args.batch_size, hw,
+                        mode="crop" if geometry == "crop" else "region",
                         random_crop=random_crop, num_classes=args.num_classes,
                         threads=max(args.num_workers, 1), seed=seed,
                         shuffle=shuffle, drop_last=shuffle,
@@ -176,7 +182,8 @@ def main(args):
             except Exception as e:
                 logger.info(f"native loader unavailable ({e}); using Python loader")
         src = SegmentationDataSource(
-            paths, size, args.num_classes, random_crop=random_crop, seed=seed
+            paths, hw, args.num_classes, random_crop=random_crop, seed=seed,
+            mode=geometry,
         )
         return HostDataLoader(
             src, args.batch_size, shuffle=shuffle, drop_last=shuffle, seed=seed,
@@ -198,7 +205,7 @@ def main(args):
     cfg.model["dtype"] = dtype
     model = build_segmentor(cfg)
 
-    sample = jnp.zeros((args.batch_size, size, size, 3), jnp.float32)
+    sample = jnp.zeros((args.batch_size,) + hw + (3,), jnp.float32)
     variables = model.init(jax.random.PRNGKey(args.seed), sample, train=False)
     variables = dict(variables)
 
@@ -231,7 +238,7 @@ def main(args):
         )
 
     train_step, eval_step, metrics_of = make_seg_steps(
-        model, tx, args.num_classes, (size, size), frozen_mask=frozen_mask
+        model, tx, args.num_classes, hw, frozen_mask=frozen_mask
     )
     state = create_seg_state(
         jax.random.PRNGKey(args.seed), model, tx, sample,
@@ -241,7 +248,7 @@ def main(args):
 
     mesh = create_mesh()
     state = shard_pytree(state, mesh)
-    aug_cfg = FinetuneAugmentConfig()
+    aug_cfg = lemon_augment_config() if args.lemon_data else FinetuneAugmentConfig()
 
     def fused_train_step(state, batch, rng, confusion):
         k_aug, k_drop = jax.random.split(rng)
@@ -282,7 +289,7 @@ def main(args):
         _, preds, _ = seg_forward(
             model,
             {"params": state.params, "batch_stats": state.batch_stats},
-            images, (size, size), train=False,
+            images, hw, train=False,
         )
         return preds
 

@@ -284,3 +284,37 @@ def test_grid_distortion_bounds_and_batch_pipeline():
     assert out.shape == (2, 32, 32, 3) and m.shape == (2, 32, 32)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
     assert set(np.unique(np.asarray(m))).issubset({0, 1})
+
+
+def test_lemon_brightness_contrast_law():
+    """RandomBrightnessContrast (lemon stack): img*alpha + beta with
+    alpha in 1+contrast_limit, beta in brightness_limit, both non-negative
+    for the lemon ranges — so pixels never darken, and with flips/noise/
+    distortion off the map is exactly affine-then-clip."""
+    from cp2_tpu.augment import FinetuneAugmentConfig, finetune_augment_batch
+
+    cfg = FinetuneAugmentConfig(
+        jitter_p=0.0, bc_p=1.0, hflip_p=0.0, vflip_p=0.0,
+        noise_p=0.0, distort_p=0.0,
+    )
+    rng = jax.random.PRNGKey(3)
+    imgs = jnp.full((4, 8, 8, 3), 0.25, jnp.float32)
+    masks = jnp.zeros((4, 8, 8), jnp.int32)
+    out, m = finetune_augment_batch(rng, imgs, masks, cfg)
+    assert np.array_equal(np.asarray(m), np.asarray(masks))
+    out = np.asarray(out)
+    # constant input stays spatially constant under a pointwise affine map
+    assert np.allclose(out.max(axis=(1, 2, 3)), out.min(axis=(1, 2, 3)))
+    vals = out[:, 0, 0, 0]
+    # alpha in [1, 1.5], beta in [0, 0.5] -> 0.25 <= v <= 0.875 (pre-clip)
+    assert (vals >= 0.25 - 1e-6).all() and (vals <= 0.875 + 1e-6).all()
+    # not the identity for all samples (bc_p=1 guarantees application)
+    assert (np.abs(vals - 0.25) > 1e-4).any()
+
+
+def test_lemon_augment_config_disables_jitter():
+    from cp2_tpu.augment import lemon_augment_config
+
+    cfg = lemon_augment_config()
+    assert cfg.jitter_p == 0.0 and cfg.bc_p == 0.5
+    assert cfg.distort_p == 0.2 and cfg.noise_p == 0.5

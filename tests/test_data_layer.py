@@ -324,3 +324,38 @@ def test_mmseg_pipeline_end_to_end(seg_tree, tmp_path):
     out = ds.evaluate(gts, metric=["mIoU", "mDice"])
     assert out["mIoU"] == pytest.approx(1.0)
     assert out["mDice"] == pytest.approx(1.0)
+
+
+def test_seg_source_resize_mode_nonsquare(seg_tree):
+    """Lemon geometry: direct aspect-breaking resize, no crop (reference
+    A.Resize(544,1024,INTER_NEAREST), finetune_dataset.py:349-384), and
+    the native region-mode loader delivers the same mask geometry."""
+    from cp2_tpu.data import SegmentationDataSource
+
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    src = SegmentationDataSource(
+        pairs, (24, 56), num_classes=12, mode="resize"
+    )
+    row = src.load(0)
+    assert row["image"].shape == (24, 56, 3)
+    assert row["mask"].shape == (24, 56)
+
+    with pytest.raises(ValueError):
+        SegmentationDataSource(pairs, (24, 56), mode="crop")
+
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    ld = native.NativePairLoader(
+        pairs, batch_size=2, base_hw=(24, 56), mode="region",
+        num_classes=12, threads=2, shuffle=False,
+    )
+    batch = next(ld.epoch_iterator(0))
+    assert batch["image"].shape == (2, 24, 56, 3)
+    # PIL-law nearest on the mask: native == python bit-exact
+    from cp2_tpu.data.host_loader import _decode_mask
+
+    ref = _decode_mask(pairs[0][1], (24, 56))
+    # seg_tree masks are 0/255; resize-mode multi-class keeps raw ids
+    assert np.array_equal(batch["mask"][0], ref)

@@ -94,3 +94,63 @@ def test_finetune_fast_dev_run_8dev(polyp_tree, tmp_path):
     metrics_file = os.path.join(str(tmp_path / "logs"), "e2e", "metrics.jsonl")
     rows = [json.loads(l) for l in open(metrics_file)]
     assert any("val_BinaryJaccardIndex" in r for r in rows)
+
+
+@pytest.fixture(scope="module")
+def lemon_tree(tmp_path_factory):
+    """Non-square multi-class defect data (reference lemon: 544x1024 with
+    12 classes; scaled down here, geometry preserved)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("lemon")
+    img_dir = root / "images"
+    mask_dir = root / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    r = np.random.RandomState(1)
+    for split, count in (("train", 10), ("val", 3), ("test", 4)):
+        for i in range(count):
+            name = f"{split}{i:02d}_{split}.png"
+            # source frames wider than tall, like the lemon camera data
+            Image.fromarray((r.rand(60, 110, 3) * 255).astype(np.uint8)).save(
+                img_dir / name
+            )
+            Image.fromarray(
+                r.randint(0, 12, (60, 110)).astype(np.uint8), mode="L"
+            ).save(mask_dir / name)
+    return str(img_dir), str(mask_dir)
+
+
+@pytest.mark.slow
+def test_finetune_lemon_nonsquare_fast_dev_run(lemon_tree, tmp_path):
+    """--lemon_data runs TRUE non-square geometry end-to-end: direct
+    resize (no crop), 12-class masks, the lemon aug stack (reference
+    finetune_dataset.py:346-384).  The reference forces 544x1024; the test
+    shrinks to 32x64 to keep CPU compiles tractable while preserving the
+    2:1-ish aspect and every lemon-specific code path."""
+    from cp2_tpu.train import finetune
+
+    img_dir, mask_dir = lemon_tree
+    cfg_path = tmp_path / "tiny_finetune.py"
+    cfg_path.write_text(TINY_CFG)
+    args = finetune.get_args([
+        "--run_id", "lemon",
+        "--log_dir", str(tmp_path / "logs"),
+        "--img_dirs", img_dir,
+        "--mask_dirs", mask_dir,
+        "--pretrain_type", "NONE",
+        "--config", str(cfg_path),
+        "--batch_size", "8",
+        "--num_workers", "2",
+        "--lemon_data",
+        "--fast_dev_run",
+        "--visualize_freq", "0",
+        "--no-bf16",
+    ])
+    assert (args.img_height, args.img_width) == (544, 1024)  # reference law
+    assert args.num_classes == 12
+    # shrink geometry for the CPU test; aspect stays non-square
+    args.img_height, args.img_width = 32, 64
+    test_metrics = finetune.main(args)
+    assert np.isfinite(test_metrics["test_loss"])
+    assert 0.0 <= test_metrics["test_MulticlassJaccardIndex"] <= 1.0
