@@ -241,13 +241,16 @@ class HostDataLoader:
                     valid = len(rows)
                     # pad short final batches (drop_last=False) to the full
                     # batch size so jitted consumers see one static shape;
-                    # "valid" lets eval mask the pad rows back out
+                    # the per-row "valid" mask lets eval drop the pad rows
+                    # (a mask, not a count: under multi-host assembly each
+                    # host's pad rows sit at the end of ITS segment of the
+                    # global batch, so a scalar count cannot describe them)
                     while len(rows) < self.batch_size:
                         rows.append(rows[-1])
                     batch = {
                         k: np.stack([r[k] for r in rows]) for k in rows[0]
                     }
-                    batch["valid"] = np.int32(valid)
+                    batch["valid"] = np.arange(self.batch_size) < valid
                     q.put(batch)
                 q.put(None)
             except BaseException as e:  # surface decode errors, don't hang

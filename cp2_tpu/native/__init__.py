@@ -156,7 +156,10 @@ class NativePretrainLoader:
             )
             if not valid:
                 return
-            yield {"image": self._buf.copy()}
+            yield {
+                "image": self._buf.copy(),
+                "valid": np.arange(self.batch_size) < valid,
+            }
 
     def __del__(self):
         try:
@@ -238,12 +241,14 @@ class NativePairLoader:
                 mask = (mask > 0).astype(np.int32)
             else:
                 mask = mask.copy()
-            # "valid" counts real rows; rows past it are pad repeats of the
-            # final sample (drop_last=false) and must be excluded from eval
+            # per-row "valid" mask: rows past the count are pad repeats of
+            # the final sample (drop_last=false) and must be excluded from
+            # eval.  A mask (not a count) so multi-host global assembly
+            # keeps each host's pad rows addressable.
             yield {
                 "image": self._img.copy(),
                 "mask": mask,
-                "valid": np.int32(valid),
+                "valid": np.arange(self.batch_size) < valid,
             }
 
     def __del__(self):

@@ -73,20 +73,49 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Place a host batch pytree onto the mesh, batch dim sharded.
 
-    Scalar leaves (e.g. the loader's ``valid`` row count) are replicated —
-    a rank-0 array cannot carry a batch dimension.
+    Single-process: a plain ``device_put`` of the full batch.  Multi-host
+    (``jax.process_count() > 1``): each process holds only ITS rows
+    (loaders run with ``shard=(process_index, process_count)``), and
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    — the multi-process idiom; ``device_put`` of a host-local batch onto a
+    cross-host sharding is not addressable.  Scalar leaves are replicated
+    (identical on every host by the loaders' lockstep law).
     """
     sharding = data_sharding(mesh, axis)
     replicated = replicated_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
-        spec = sharding if np.ndim(x) >= 1 else replicated
-        return jax.device_put(x, spec)
+        if np.ndim(x) == 0:
+            if multiprocess:
+                return jax.make_array_from_process_local_data(
+                    replicated, np.asarray(x)
+                )
+            return jax.device_put(x, replicated)
+        if multiprocess:
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def shard_pytree(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a parameter/state pytree across the mesh."""
+    """Replicate a parameter/state pytree across the mesh.
+
+    Multi-host: every process holds the full (identical, seeded) value, so
+    replication goes through ``make_array_from_process_local_data`` with a
+    replicated spec instead of a cross-host ``device_put``.
+    """
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -166,6 +166,17 @@ def main(args):
     # is SmallestMaxSize + shared crop (:301-349)
     geometry = "resize" if args.lemon_data else "crop"
 
+    # multi-host input sharding (reference DistributedSampler,
+    # main.py:260-279): each process decodes only its rows of the global
+    # batch; shard_batch assembles them into the global array
+    shard = (jax.process_index(), jax.process_count())
+    if args.batch_size % shard[1]:
+        raise ValueError(
+            f"batch_size {args.batch_size} not divisible by "
+            f"{shard[1]} processes"
+        )
+    local_batch = args.batch_size // shard[1]
+
     def loader(paths, random_crop, shuffle, seed=0):
         if getattr(args, "native_loader", False):
             try:
@@ -173,11 +184,11 @@ def main(args):
 
                 if native_available():
                     return NativePairLoader(
-                        paths, args.batch_size, hw,
+                        paths, local_batch, hw,
                         mode="crop" if geometry == "crop" else "region",
                         random_crop=random_crop, num_classes=args.num_classes,
                         threads=max(args.num_workers, 1), seed=seed,
-                        shuffle=shuffle, drop_last=shuffle,
+                        shuffle=shuffle, drop_last=shuffle, shard=shard,
                     )
             except Exception as e:
                 logger.info(f"native loader unavailable ({e}); using Python loader")
@@ -186,8 +197,8 @@ def main(args):
             mode=geometry,
         )
         return HostDataLoader(
-            src, args.batch_size, shuffle=shuffle, drop_last=shuffle, seed=seed,
-            num_workers=args.num_workers,
+            src, local_batch, shuffle=shuffle, drop_last=shuffle, seed=seed,
+            num_workers=args.num_workers, shard=shard,
         )
 
     train_loader = loader(splits["train"], True, True, args.seed)
@@ -397,11 +408,17 @@ def main(args):
             if val_metrics.get(monitor, -1.0) > best_iou:
                 best_iou = val_metrics[monitor]
                 prev_best = best_path
-                best_path = save_checkpoint(
-                    run_dir, step, jax.device_get(state),
-                    meta={"epoch": epoch, monitor: best_iou,
-                          "pretrain_type": args.pretrain_type.name},
-                )
+                # rank-0 write (reference rank-0 save, main.py:528-550);
+                # other hosts still track best_path for the final restore
+                # (multi-host runs assume a shared log_dir)
+                if jax.process_index() == 0:
+                    best_path = save_checkpoint(
+                        run_dir, step, jax.device_get(state),
+                        meta={"epoch": epoch, monitor: best_iou,
+                              "pretrain_type": args.pretrain_type.name},
+                    )
+                else:
+                    best_path = os.path.join(run_dir, str(step))
                 logger.info(f"new best {monitor}={best_iou:.4f} -> {best_path}")
                 if prev_best and prev_best != best_path:
                     # save_top_k=1 parity (reference finetune.py:165-171)

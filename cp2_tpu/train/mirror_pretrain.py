@@ -33,6 +33,10 @@ def get_args(argv=None):
     parser.add_argument('--use_wandb', action='store_true')
     parser.add_argument('--offline_wandb', action='store_true')
     parser.add_argument('--num-workers', type=int, default=4, dest='num_workers')
+    parser.add_argument('--native_loader', action='store_true', default=True,
+                        help='use the C++ decode pool when available')
+    parser.add_argument('--no-native_loader', dest='native_loader',
+                        action='store_false')
     parser.add_argument('--fast_dev_run', action='store_true')
     parser.add_argument('--use_profiler', action='store_true')
 
@@ -129,11 +133,35 @@ def main(args):
         )
         args.batch_size = eff
 
+    # multi-host input sharding (reference DistributedSampler equivalent)
+    shard = (jax.process_index(), jax.process_count())
+    if args.batch_size % shard[1]:
+        raise ValueError(
+            f"batch_size {args.batch_size} not divisible by "
+            f"{shard[1]} processes"
+        )
+    local_batch = args.batch_size // shard[1]
+
     def loader(files, shuffle, seed):
+        # the mirror path runs the largest frames (512²/544×1024), where
+        # host decode cost hurts most — prefer the C++ pool like the
+        # pretrain/finetune CLIs
+        if getattr(args, "native_loader", True):
+            try:
+                from cp2_tpu.native import NativePretrainLoader, native_available
+
+                if native_available():
+                    return NativePretrainLoader(
+                        files, local_batch, base_hw,
+                        threads=max(args.num_workers, 1), seed=seed,
+                        shuffle=shuffle, drop_last=shuffle, shard=shard,
+                    )
+            except Exception as e:
+                logger.info(f"native loader unavailable ({e}); using Python loader")
         return HostDataLoader(
-            PretrainDataSource(files, base_hw), args.batch_size,
+            PretrainDataSource(files, base_hw), local_batch,
             shuffle=shuffle, drop_last=shuffle, seed=seed,
-            num_workers=args.num_workers,
+            num_workers=args.num_workers, shard=shard,
         )
 
     train_loader = loader(train_files, True, args.seed)
@@ -200,14 +228,15 @@ def main(args):
         batch = prepare(k_aug, frames, mirror_frames)
         return train_step(state, batch, k_step, confusion)
 
-    def fused_eval(state, frames, mirror_frames, rng, confusion):
+    def fused_eval(state, frames, mirror_frames, valid, rng, confusion):
         batch = prepare(rng, frames, mirror_frames)
+        batch["valid"] = valid  # pad mask from drop_last=False val loaders
         return eval_step(state, batch, confusion)
 
     mesh = create_mesh()
     state = shard_pytree(state, mesh)
     jit_train = jax.jit(fused_train, donate_argnums=(0, 4))
-    jit_eval = jax.jit(fused_eval, donate_argnums=(4,))
+    jit_eval = jax.jit(fused_eval, donate_argnums=(5,))
 
     step_timer = None
     if args.use_profiler:
@@ -248,23 +277,33 @@ def main(args):
             for i, (b, m) in enumerate(zip(
                 val_loader.epoch_iterator(0), val_mirror_loader.epoch_iterator(0)
             )):
-                frames = shard_batch(b["image"], mesh)
+                sb = shard_batch(
+                    {"image": b["image"],
+                     "valid": b.get("valid", np.ones(len(b["image"]), bool))},
+                    mesh,
+                )
                 mirror_frames = shard_batch(m["image"], mesh)
                 vconf, vm = jit_eval(
-                    state, frames, mirror_frames,
+                    state, sb["image"], mirror_frames, sb["valid"],
                     jax.random.fold_in(root_key, 10_000_000 + i), vconf,
                 )
-                val_losses.append(float(vm["val_loss"]))
+                val_losses.append(
+                    (float(vm["val_loss"]), float(vm["weight"]))
+                )
                 if args.fast_dev_run and i >= 1:
                     break
-            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+            val_loss = (
+                sum(l * w for l, w in val_losses)
+                / max(sum(w for _, w in val_losses), 1e-9)
+                if val_losses else float("nan")
+            )
             sink.log(
                 {**{k: float(v) for k, v in metrics.items()},
                  "val_loss_epoch": val_loss, "epoch": epoch},
                 step=step,
             )
             logger.info(f"epoch {epoch}: val_loss={val_loss:.4f}")
-            if val_loss < best_val:
+            if val_loss < best_val and jax.process_index() == 0:
                 best_val = val_loss
                 path = save_checkpoint(
                     run_dir, step, jax.device_get(state),

@@ -26,11 +26,19 @@ from cp2_tpu.train.segmentation_task import SegTrainState, seg_forward
 from cp2_tpu.types import MirrorVariant
 
 
-def mirror_consistency_loss(s_logits, t_logits, temperature: float):
+def mirror_consistency_loss(
+    s_logits, t_logits, temperature: float, sample_mask=None
+):
     s_probs = jax.nn.softmax(s_logits / temperature, axis=-1)
     t_probs = jax.nn.softmax(t_logits / temperature, axis=-1)
     log_q = jax.nn.log_softmax(s_probs, axis=-1)  # literal reference behavior
-    return -jnp.mean(jnp.sum(t_probs * log_q, axis=-1))
+    ce = -jnp.sum(t_probs * log_q, axis=-1)
+    if sample_mask is None:
+        return jnp.mean(ce)
+    w = sample_mask.reshape((-1,) + (1,) * (ce.ndim - 1))
+    return jnp.sum(ce * w) / jnp.maximum(
+        w.sum() * (ce.size // ce.shape[0]), 1
+    )
 
 
 def make_mirror_steps(
@@ -92,6 +100,8 @@ def make_mirror_steps(
 
     def eval_step(state: SegTrainState, batch, confusion: ConfusionState):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # per-row pad mask from drop_last=False loaders (see seg eval_step)
+        row_mask = batch.get("valid")
         if mirror_variant == MirrorVariant.OUTPUT:
             s_logits, _, _ = seg_forward(
                 model, variables, batch["image"], image_hw, train=False
@@ -101,16 +111,33 @@ def make_mirror_steps(
             )
             all_logits = jnp.concatenate([s_logits, t_logits])
             all_masks = jnp.concatenate([batch["mask"], batch["mask"]])
-            compare = mirror_consistency_loss(s_logits, t_logits, softmax_temp)
+            all_row_mask = (
+                None if row_mask is None
+                else jnp.concatenate([row_mask, row_mask])
+            )
+            compare = mirror_consistency_loss(
+                s_logits, t_logits, softmax_temp, sample_mask=row_mask
+            )
         else:
             all_logits, _, _ = seg_forward(
                 model, variables, batch["image"], image_hw, train=False
             )
             all_masks = batch["mask"]
+            all_row_mask = row_mask
             compare = 0.0
-        class_loss = softmax_cross_entropy(all_logits, all_masks)
+        class_loss = softmax_cross_entropy(
+            all_logits, all_masks, sample_mask=all_row_mask
+        )
         loss = class_loss + lmbd_compare_loss * compare
         preds = jnp.argmax(all_logits, axis=-1)
-        return confusion.update(preds, all_masks), {"val_loss": loss}
+        n = batch["image"].shape[0]
+        weight = (
+            jnp.float32(n) if row_mask is None
+            else row_mask.sum().astype(jnp.float32)
+        )
+        return (
+            confusion.update(preds, all_masks, sample_mask=all_row_mask),
+            {"val_loss": loss, "weight": weight},
+        )
 
     return train_step, eval_step

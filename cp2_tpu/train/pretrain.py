@@ -256,6 +256,17 @@ def main(args):
     base_hw = (args.img_height + 32, args.img_width + 32)
     source = PretrainDataSource(files, base_hw, with_region_maps=need_region)
 
+    # multi-host input sharding (reference DistributedSampler,
+    # main.py:260-279): every stream loads only this process's rows of the
+    # global batch; shard_batch assembles the global arrays
+    shard = (jax.process_index(), jax.process_count())
+    if args.batch_size % shard[1]:
+        raise ValueError(
+            f"batch_size {args.batch_size} not divisible by "
+            f"{shard[1]} processes"
+        )
+    local_batch = args.batch_size // shard[1]
+
     def make_loader(seed, with_region=False):
         # prefer the native C++ decode pool when the toolchain is present;
         # else the Python loader.  Region-map pairing (SAM masks,
@@ -274,18 +285,20 @@ def main(args):
 
                         return NativePairLoader(
                             [(f, region_mask_path(f)) for f in files],
-                            args.batch_size, base_hw, mode="region",
+                            local_batch, base_hw, mode="region",
                             threads=max(args.num_workers, 1), seed=seed,
+                            shard=shard,
                         )
                     return NativePretrainLoader(
-                        files, args.batch_size, base_hw,
+                        files, local_batch, base_hw,
                         threads=max(args.num_workers, 1), seed=seed,
+                        shard=shard,
                     )
             except Exception as e:  # fall back silently but log once
                 logger.info(f"native loader unavailable ({e}); using Python loader")
         return HostDataLoader(
-            source, args.batch_size, shuffle=True, drop_last=True, seed=seed,
-            num_workers=args.num_workers,
+            source, local_batch, shuffle=True, drop_last=True, seed=seed,
+            num_workers=args.num_workers, shard=shard,
         )
 
     # NativePairLoader yields {"image", "mask"}; the pretrain step expects
@@ -553,7 +566,9 @@ def main(args):
                 epoch % args.ckpt_freq == args.ckpt_freq - 1
                 or step > args.max_steps
                 or is_last
-            ):
+            ) and jax.process_index() == 0:
+                # rank-0 write (reference main.py:528-550); state is
+                # replicated so host 0's copy is the global truth
                 path = save_checkpoint(
                     run_dir, step, jax.device_get(state),
                     meta={

@@ -150,10 +150,9 @@ def make_seg_steps(
         images, masks = batch["image"], batch["mask"]
         n = images.shape[0]
         # loaders pad the final drop_last=False batch by repeating the last
-        # sample; "valid" counts the real rows and the rest are masked out
-        # of both the loss and the confusion counts
-        valid = batch.get("valid")
-        row_mask = None if valid is None else jnp.arange(n) < valid
+        # sample; the per-row "valid" mask drops pad rows from both the
+        # loss and the confusion counts
+        row_mask = batch.get("valid")
         logits, preds, _ = seg_forward(
             model,
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -207,7 +207,7 @@ def test_loaders_pad_final_batch_and_report_valid(seg_tree):
         src, batch_size=4, shuffle=False, drop_last=False, num_workers=2
     )
     batches = list(hl.epoch_iterator(0))
-    assert [int(b["valid"]) for b in batches] == [4, 1]
+    assert [int(b["valid"].sum()) for b in batches] == [4, 1]
     last = batches[-1]
     assert last["image"].shape == (4, 32, 32, 3)
     for j in range(1, 4):  # pad rows repeat the final sample
@@ -222,7 +222,7 @@ def test_loaders_pad_final_batch_and_report_valid(seg_tree):
         drop_last=False,
     )
     nbatches = list(nl.epoch_iterator(0))
-    assert [int(b["valid"]) for b in nbatches] == [4, 1]
+    assert [int(b["valid"].sum()) for b in nbatches] == [4, 1]
     for j in range(1, 4):
         assert np.array_equal(nbatches[-1]["image"][j], nbatches[-1]["image"][0])
 

@@ -83,7 +83,7 @@ def test_eval_step_masks_padded_rows():
     padded = {
         "image": jnp.asarray(np.concatenate([imgs, imgs[-1:]], 0)),
         "mask": jnp.asarray(np.concatenate([masks, masks[-1:]], 0)),
-        "valid": jnp.int32(3),
+        "valid": jnp.arange(4) < 3,
     }
     conf_pad, m_pad = jax.jit(eval_step)(state, padded, ConfusionState.create(2))
     assert float(m_pad["weight"]) == 3.0

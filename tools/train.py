@@ -90,13 +90,21 @@ def main(args):
     val_pairs = list_image_mask_pairs(
         data_cfg["val"]["img_dir"], data_cfg["val"]["ann_dir"]
     )
+    # multi-host input sharding (mmseg DistributedSampler equivalent)
+    shard = (jax.process_index(), jax.process_count())
+    if batch_size % shard[1]:
+        raise ValueError(
+            f"samples_per_gpu {batch_size} not divisible by "
+            f"{shard[1]} processes"
+        )
+    local_batch = batch_size // shard[1]
     train_loader = HostDataLoader(
         SegmentationDataSource(train_pairs, img_size, num_classes, random_crop=True),
-        batch_size, shuffle=True, seed=args.seed,
+        local_batch, shuffle=True, seed=args.seed, shard=shard,
     )
     val_loader = HostDataLoader(
         SegmentationDataSource(val_pairs, img_size, num_classes, random_crop=False),
-        batch_size, shuffle=False, drop_last=False,
+        local_batch, shuffle=False, drop_last=False, shard=shard,
     )
 
     model = build_segmentor(cfg)
@@ -143,7 +151,9 @@ def main(args):
         for batch in val_loader.epoch_iterator(0):
             # drop pad rows of the final short batch (loader repeats the
             # last sample to keep shapes static; counting them biases mIoU)
-            v = int(batch.get("valid", batch["image"].shape[0]))
+            v = int(np.sum(batch["valid"])) if "valid" in batch else (
+                batch["image"].shape[0]
+            )
             batch = {
                 "image": batch["image"][:v],
                 "mask": batch["mask"][:v],
@@ -180,7 +190,9 @@ def main(args):
                     logger.info(f"iter {it}/{max_iters} loss={float(m['loss']):.4f}")
                 if not args.no_validate and it % eval_interval == 0:
                     logger.info(f"eval@{it}: {validate()}")
-                if it % ckpt_interval == 0 or it >= max_iters:
+                if (it % ckpt_interval == 0 or it >= max_iters) and (
+                    jax.process_index() == 0
+                ):
                     save_checkpoint(work_dir, it, jax.device_get(state),
                                     meta={"iter": it})
                 if it >= max_iters:
