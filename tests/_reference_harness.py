@@ -29,6 +29,21 @@ REFERENCE = "/root/reference"
 
 _IMPORTED: Dict[str, Any] = {}
 
+# wandb.log payloads captured by the stub (reference metrics that have no
+# other observable channel). reset_wandb_capture() before a run, then read.
+WANDB_LOGS: list = []
+
+
+def reset_wandb_capture() -> None:
+    WANDB_LOGS.clear()
+
+
+def captured_wandb_metric(key: str):
+    for payload in reversed(WANDB_LOGS):
+        if key in payload:
+            return payload[key]
+    return None
+
 
 def _install_stub_modules():
     import torch
@@ -39,10 +54,17 @@ def _install_stub_modules():
         sys.modules[name] = m
         return m
 
-    # ---- wandb: swallow everything -------------------------------------
+    # ---- wandb: swallow everything, but capture log() payloads so the
+    # fidelity tests can compare metrics the reference only exposes via
+    # wandb (e.g. matching_positives_rate, builder.py:857-905) ------------
     if "wandb" not in sys.modules:
         wandb = mod("wandb")
-        wandb.log = lambda *a, **k: None
+
+        def _capture_log(payload=None, *a, **k):
+            if isinstance(payload, dict):
+                WANDB_LOGS.append(payload)
+
+        wandb.log = _capture_log
         wandb.define_metric = lambda *a, **k: None
         wandb.Image = lambda *a, **k: None
         wandb.init = lambda *a, **k: None
@@ -233,19 +255,21 @@ class _CfgShim:
 
 def build_reference_model(builder, *, dim: int, stride: int, seed: int,
                           queue_np: np.ndarray, queue2_np=None,
+                          backbone_stride: int = 32, rank: int = 1,
                           **model_kwargs):
     """Construct reference ``MODEL`` around the stub encoder with a pinned
     queue.  ``queue_np`` is (K, dim) row-major (the rebuild's layout); the
-    reference stores (dim, K)."""
+    reference stores (dim, K).  ``rank=0`` enables the reference's wandb
+    metric paths (captured by the stub — see ``WANDB_LOGS``)."""
     import torch
 
     sys.modules["mmseg.models"].build_segmentor = make_torch_stub_factory(
-        dim, stride, seed
+        dim, stride, seed, backbone_stride=backbone_stride
     )
     builder.build_segmentor = sys.modules["mmseg.models"].build_segmentor
     model = builder.MODEL(
         _CfgShim(),
-        rank=1,  # disables every wandb path in the reference
+        rank=rank,
         dim=dim,
         K=queue_np.shape[0],
         pretrain_from_scratch=True,
@@ -256,3 +280,70 @@ def build_reference_model(builder, *, dim: int, stride: int, seed: int,
         if queue2_np is not None:
             model.queue2.copy_(torch.from_numpy(queue2_np.T.copy()))
     return model
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax weight extraction (for the DenseCL/MoCo/BYOL heads the
+# reference constructs itself, builder.py:404-462 — the JAX twin injects
+# these exact values so any disagreement is loss math, not init)
+# ---------------------------------------------------------------------------
+
+
+def _t2n(t) -> np.ndarray:
+    return t.detach().cpu().numpy().copy()
+
+
+def linear_params(linear) -> Dict[str, np.ndarray]:
+    """torch Linear (out,in) -> flax Dense {kernel (in,out), bias}."""
+    return {"kernel": _t2n(linear.weight).T, "bias": _t2n(linear.bias)}
+
+
+def linear_params_chw_to_hwc(linear, c: int, h: int, w: int):
+    """Linear over a FLATTENED feature map: torch flattens NCHW (c,h,w
+    order), flax flattens NHWC (h,w,c) — permute the input axis."""
+    W = _t2n(linear.weight)  # (out, c*h*w)
+    W = W.reshape(W.shape[0], c, h, w).transpose(0, 2, 3, 1)
+    return {"kernel": W.reshape(W.shape[0], -1).T, "bias": _t2n(linear.bias)}
+
+
+def conv1x1_params(conv) -> Dict[str, np.ndarray]:
+    """torch Conv2d (out,in,1,1) -> flax Conv {kernel (1,1,in,out), bias}."""
+    return {
+        "kernel": _t2n(conv.weight).transpose(2, 3, 1, 0),
+        "bias": _t2n(conv.bias),
+    }
+
+
+def extract_projector_mlp(seq, *, chw=None) -> Dict[str, Any]:
+    """Sequential(Linear, BN-or-Identity, ReLU, Linear) -> our MLP params."""
+    import torch.nn as nn
+
+    fc1 = (
+        linear_params_chw_to_hwc(seq[0], *chw) if chw else linear_params(seq[0])
+    )
+    out: Dict[str, Any] = {"fc1": fc1, "fc2": linear_params(seq[3])}
+    if isinstance(seq[1], nn.BatchNorm1d):
+        out["bn"] = {"scale": _t2n(seq[1].weight), "bias": _t2n(seq[1].bias)}
+    return out
+
+
+def extract_densecl_neck(neck) -> Dict[str, Any]:
+    """Reference DenseCLNeck (builder.py:179-274) -> our DenseCLNeck params."""
+    return {
+        "global_projector": {
+            "fc1": linear_params(neck.global_projector[0]),
+            "fc2": linear_params(neck.global_projector[2]),
+        },
+        "global_predictor": {
+            "fc1": linear_params(neck.global_predictor[0]),
+            "fc2": linear_params(neck.global_predictor[2]),
+        },
+        "local_projector": {
+            "conv1": conv1x1_params(neck.local_projector[0]),
+            "conv2": conv1x1_params(neck.local_projector[2]),
+        },
+        "local_predictor": {
+            "conv1": conv1x1_params(neck.local_predictor[0]),
+            "conv2": conv1x1_params(neck.local_predictor[2]),
+        },
+    }
