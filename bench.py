@@ -127,11 +127,23 @@ def main():
     scan_k = int(os.environ.get("BENCH_SCAN", "1"))
     if scan_k > 1:
         inner = step_fn
-        # scan over K stacked batches (leading axis K) so each scanned step
-        # reads a distinct HBM buffer, exactly like a real batch stream
-        raw = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a[None], (scan_k,) + a.shape), raw
-        )
+        # scan over K stacked batches with genuinely DISTINCT contents —
+        # a broadcast of one batch would let every scanned step read the
+        # same HBM buffer and flatter throughput via cache reuse
+        def stack_k(a):
+            a = np.asarray(a)
+            out = np.stack([a] * scan_k)
+            if out.dtype == np.uint8:
+                out = ((out.astype(np.int32) + r.randint(0, 7, out.shape)) % 256
+                       ).astype(np.uint8)
+            elif np.issubdtype(out.dtype, np.floating):
+                out = (out + r.rand(*out.shape).astype(out.dtype) * 1e-3).astype(
+                    out.dtype
+                )
+            # int id maps stay identical: their values are semantic ids
+            return jnp.asarray(out)
+
+        raw = jax.tree_util.tree_map(stack_k, raw)
 
         def step_fn(state, raw_k, key):  # noqa: F811 — scan-wrapped variant
             def body(s, one_raw):
@@ -141,6 +153,19 @@ def main():
             return state, {"loss": losses[-1]}
 
     jitted = jax.jit(step_fn, donate_argnums=0)
+
+    # XLA's own FLOP estimate for the compiled step -> MFU against the
+    # chip's bf16 peak (VERDICT r2: ground the perf claim in measurables)
+    flops_per_call = None
+    try:
+        cost = jitted.lower(state, raw, jax.random.PRNGKey(42)).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops_per_call = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     base_key = jax.random.PRNGKey(42)  # per-step fold_in happens in-step
     for i in range(warmup):
         state, metrics = jitted(state, raw, base_key)
@@ -156,6 +181,26 @@ def main():
     ips = batch * steps * scan_k / dt
     n_chips = max(jax.device_count(), 1)
     ips_per_chip = ips / n_chips
+    mfu = None
+    if flops_per_call:
+        peak = _peak_bf16_flops(jax.devices()[0])
+        if peak:
+            mfu = round(flops_per_call * steps / dt / (n_chips * peak), 4)
+
+    # end-to-end rate: the SAME step fed by the native C++ loader decoding
+    # real JPEGs from disk — the number a user sees with this host CPU.
+    # The device-only figure above excludes the input pipeline entirely.
+    e2e_ips = None
+    if (
+        not no_aug
+        and scan_k == 1  # reuses the already-compiled single-step program
+        and os.environ.get("BENCH_E2E", "1") == "1"
+    ):
+        e2e_ips = _e2e_native_loader_ips(
+            jitted, state, batch, base,
+            steps=int(os.environ.get("BENCH_E2E_STEPS", "6")),
+        )
+
     print(
         json.dumps(
             {
@@ -165,9 +210,89 @@ def main():
                 "vs_baseline": round(
                     ips_per_chip / (TARGET_MULTIPLIER * ASSUMED_REFERENCE_A100_IPS), 3
                 ),
+                "scope": "device-only",
+                "device_ips": round(ips_per_chip, 2),
+                "e2e_ips": e2e_ips,
+                "mfu": mfu,
+                "model_flops_per_step": flops_per_call,
             }
         )
     )
+
+
+def _peak_bf16_flops(device) -> float | None:
+    """Per-chip bf16 peak FLOP/s by device kind (public TPU specs)."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = (
+        ("v6", 918e12),        # Trillium
+        ("v5p", 459e12),
+        ("v5 lite", 197e12),
+        ("v5litepod", 197e12),
+        ("v5e", 197e12),
+        ("v4", 275e12),
+        ("v3", 123e12),
+        ("v2", 45e12),
+    )
+    for tag, peak in table:
+        if tag in kind:
+            return peak
+    return None
+
+
+def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int):
+    """Drive the jitted step from the native JPEG decode pool (3 streams)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from cp2_tpu.native import NativePretrainLoader, native_available
+
+        if not native_available():
+            return None
+    except Exception:
+        return None
+    from PIL import Image
+
+    data_dir = os.path.join("/tmp", f"cp2_bench_jpegs_{base}")
+    n_images = max(batch * 4, 64)
+    files = [os.path.join(data_dir, f"{i:04d}.jpg") for i in range(n_images)]
+    if not all(os.path.exists(f) for f in files):
+        os.makedirs(data_dir, exist_ok=True)
+        r = np.random.RandomState(7)
+        for f in files:
+            Image.fromarray(
+                (r.rand(base, base, 3) * 255).astype(np.uint8)
+            ).save(f, quality=90)
+
+    threads = max(os.cpu_count() or 1, 1)
+    loaders = [
+        NativePretrainLoader(files, batch, (base, base), threads=threads, seed=s)
+        for s in (0, 1, 2)
+    ]
+    base_key = jax.random.PRNGKey(43)
+
+    def epoch_stream():
+        epoch = 0
+        while True:
+            for fg, b0, b1 in zip(*(ld.epoch_iterator(epoch) for ld in loaders)):
+                yield {
+                    "fg": jnp.asarray(fg["image"]),
+                    "bg0": jnp.asarray(b0["image"]),
+                    "bg1": jnp.asarray(b1["image"]),
+                }
+            epoch += 1
+
+    stream = epoch_stream()
+    state, metrics = jitted(state, next(stream), base_key)  # warm the path
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = jitted(state, next(stream), base_key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    n_chips = max(jax.device_count(), 1)
+    return round(batch * steps / dt / n_chips, 2)
 
 
 if __name__ == "__main__":

@@ -92,8 +92,8 @@ class SSLEncoder(nn.Module):
         return self.dense(img, train=train)
 
     def dense(self, img, *, train: bool = True):
-        if self.backbone_type == BackboneType.DEEPLABV3:
-            return self.encoder(img, train=train)
+        # every backbone type routes through its encoder's default forward
+        # (EncoderDecoder contrast head / U-Net projector respectively)
         return self.encoder(img, train=train)
 
     def backbone_feats(self, img, *, train: bool = True):

@@ -357,6 +357,18 @@ def main(args):
         if args.metrics_level > 0
         else step_fn
     )
+    if hp.use_fused_dense_loss and args.metrics_level > 0:
+        # the fused kernel cannot produce the dense score statistics, so
+        # every scalar_freq-th (logging) step trains through the unfused
+        # f32 loss while quiet steps use the bf16 Pallas kernel — gradient
+        # numerics alternate between the two implementations and the
+        # logged loss comes from the unfused path
+        logger.warning(
+            "--fused_dense_loss with metrics_level>0: logging steps "
+            f"(every {args.scalar_freq}) run the UNFUSED f32 dense loss; "
+            "quiet steps run the bf16 Pallas kernel. Set --metrics_level 0 "
+            "for uniform kernel numerics."
+        )
     # third variant: first batch of a visual epoch additionally returns the
     # array payloads for the epoch-start artifacts (reference logs example
     # grids / IoU histograms / similarity heatmaps on the first batch of

@@ -82,6 +82,64 @@ def seg_forward(model, variables, images, image_hw, *, train: bool, rngs=None,
     return logits, preds, mutated
 
 
+def build_decode_loss(decode_head_cfg: dict, *, ignore_index: int = 255):
+    """Loss callable from ``decode_head.loss_decode`` (+ OHEM ``sampler``).
+
+    mmseg semantics (``decode_head.py:222-242``): the configured loss runs
+    on resized logits, optionally weighted by
+    ``OHEMPixelSampler.sample`` (``ohem_pixel_sampler.py:9-76``).  Returns
+    ``None`` when the config carries only the default mean CE — the
+    Lightning finetune path computes its own CE
+    (segment_network.py:169-171) and keeping that default preserves loss
+    parity for the reference configs.
+
+    The OHEM exclusion is applied by remapping dropped pixels to
+    ``ignore_index`` before the loss, which composes with every registered
+    loss (CE / Dice / Lovász) instead of only weight-aware ones.
+    """
+    from cp2_tpu.models.registry import LOSSES
+
+    loss_cfg = dict(decode_head_cfg.get("loss_decode") or {})
+    sampler_cfg = decode_head_cfg.get("sampler")
+    default_ce = (
+        loss_cfg.get("type", "CrossEntropyLoss") == "CrossEntropyLoss"
+        and not loss_cfg.get("use_sigmoid", False)
+        and float(loss_cfg.get("loss_weight", 1.0)) == 1.0
+    )
+    if default_ce and not sampler_cfg:
+        return None
+
+    ltype = loss_cfg.pop("type", "CrossEntropyLoss")
+    loss_impl = LOSSES.get(ltype)
+    kwargs = dict(loss_cfg)
+    kwargs.setdefault("ignore_index", ignore_index)
+    ohem = None
+    if sampler_cfg:
+        if sampler_cfg.get("type") != "OHEMPixelSampler":
+            raise NotImplementedError(f"sampler {sampler_cfg.get('type')!r}")
+        ohem = dict(
+            thresh=sampler_cfg.get("thresh"),
+            min_kept=int(sampler_cfg.get("min_kept", 100000)),
+        )
+
+    def loss_fn(logits, labels):
+        from cp2_tpu.ops.seg_losses import ohem_weights
+
+        if ohem is not None:
+            # batch_kept = min_kept * N (reference ohem_pixel_sampler.py:46)
+            w = ohem_weights(
+                logits, labels,
+                thresh=ohem["thresh"],
+                min_kept=ohem["min_kept"] * labels.shape[0],
+                ignore_index=ignore_index,
+            )
+            w = jax.lax.stop_gradient(w)
+            labels = jnp.where(w > 0, labels, ignore_index)
+        return loss_impl(logits, labels, **kwargs)
+
+    return loss_fn
+
+
 def make_seg_steps(
     model,
     tx: optax.GradientTransformation,
@@ -90,6 +148,7 @@ def make_seg_steps(
     *,
     frozen_mask: Any = None,
     aux_loss_weight: float = 0.4,
+    loss_fn: Optional[Callable] = None,
 ):
     """Build (train_step, eval_step).
 
@@ -101,10 +160,18 @@ def make_seg_steps(
     with ``aux_loss_weight`` during training only (mmseg
     ``encoder_decoder.forward_train`` + ``_auxiliary_head_forward_train``;
     0.4 is the standard mmseg aux weight).  Inference ignores it.
+
+    ``loss_fn``: optional ``(logits, labels) -> loss`` built from the
+    decode-head config (``build_decode_loss``: Dice/Lovász/OHEM); when
+    None the reference finetune loss (plain mean CE) is used.
     """
     binary = num_classes == 2
     ignore = None if binary else BACKGROUND_CLASS
     has_aux = getattr(model, "auxiliary_head", None) is not None
+    base_loss = (
+        loss_fn if loss_fn is not None
+        else lambda logits, labels: softmax_cross_entropy(logits, labels)
+    )
 
     def train_step(state: SegTrainState, batch, rng, confusion: ConfusionState):
         images, masks = batch["image"], batch["mask"]
@@ -116,7 +183,7 @@ def make_seg_steps(
                     model, variables, images, image_hw, train=True,
                     rngs={"dropout": rng}, mutable=True, with_aux=True,
                 )
-                loss = softmax_cross_entropy(logits, masks)
+                loss = base_loss(logits, masks)
                 loss = loss + aux_loss_weight * softmax_cross_entropy(
                     aux_logits, masks
                 )
@@ -125,7 +192,7 @@ def make_seg_steps(
                     model, variables, images, image_hw, train=True,
                     rngs={"dropout": rng}, mutable=True,
                 )
-                loss = softmax_cross_entropy(logits, masks)
+                loss = base_loss(logits, masks)
             return loss, (preds, mutated)
 
         (loss, (preds, mutated)), grads = jax.value_and_grad(
@@ -158,7 +225,18 @@ def make_seg_steps(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, image_hw, train=False,
         )
-        loss = softmax_cross_entropy(logits, masks, sample_mask=row_mask)
+        if loss_fn is None:
+            loss = softmax_cross_entropy(logits, masks, sample_mask=row_mask)
+        else:
+            # custom decode losses don't take a row mask; excluding pad
+            # rows via the loss's own ignore_index is equivalent
+            masks_for_loss = masks
+            if row_mask is not None:
+                masks_for_loss = jnp.where(
+                    row_mask.reshape((-1,) + (1,) * (masks.ndim - 1)),
+                    masks, 255,
+                )
+            loss = loss_fn(logits, masks_for_loss)
         weight = (
             jnp.float32(n) if row_mask is None
             else row_mask.sum().astype(jnp.float32)

@@ -148,6 +148,37 @@ class MetricLogger:
         if config:
             with open(os.path.join(self.run_dir, "config.json"), "w") as f:
                 json.dump(config, f, default=str, indent=2)
+        self.define_summary_metrics()
+
+    # the reference configures wandb summary behavior for every score-stat
+    # family (builder.py:499-541, summary='last' per key) so run tables
+    # show the final value instead of wandb's default aggregate
+    _SUMMARY_LAST_FAMILIES = tuple(
+        f"{scope}{family}_{side}_scores"
+        for scope in ("step/", "")
+        for family in (
+            "dense_per_sample_average", "dense_per_sample_lower",
+            "dense_per_sample_median", "dense_per_sample_upper",
+            "instance_average", "instance_lower",
+            "instance_median", "instance_upper",
+        )
+        for side in ("positive", "negative")
+        # instance-* families only exist for the negative side except avg
+        if not (family.startswith("instance_")
+                and side == "positive"
+                and family != "instance_average")
+    )
+
+    def define_summary_metrics(self):
+        """wandb ``define_metric(key, summary='last')`` for the reference's
+        scalar families (no-op without wandb; JSONL keeps every row)."""
+        if self._wandb is None:
+            return
+        for key in self._SUMMARY_LAST_FAMILIES:
+            try:
+                self._wandb.define_metric(key, summary="last")
+            except Exception:
+                return
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         step = self._step if step is None else step

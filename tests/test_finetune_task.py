@@ -248,3 +248,74 @@ def test_torchvision_resnet_conversion_layout():
     assert stats["layer1_0"]["norm3"]["var"].shape == (256,)
     assert params["layer1_0"]["downsample"]["conv"]["kernel"].shape == (1, 1, 64, 256)
     assert "fc" not in params
+
+
+@pytest.mark.slow
+def test_ohem_dice_loss_decode_trains():
+    """decode_head.loss_decode=DiceLoss + sampler=OHEMPixelSampler wired
+    through build_decode_loss into the seg step (VERDICT r2 #7; mmseg
+    decode_head.py:222-242 + ohem_pixel_sampler.py:9-76)."""
+    from cp2_tpu.train.segmentation_task import build_decode_loss
+
+    head_cfg = dict(
+        TINY_SEG["decode_head"],
+        loss_decode=dict(type="DiceLoss", loss_weight=1.0),
+        sampler=dict(type="OHEMPixelSampler", thresh=0.7, min_kept=64),
+    )
+    loss_fn = build_decode_loss(head_cfg)
+    assert loss_fn is not None
+    # default CE config must stay on the reference loss path (None)
+    assert build_decode_loss(TINY_SEG["decode_head"]) is None
+    assert build_decode_loss(
+        dict(TINY_SEG["decode_head"],
+             loss_decode=dict(type="CrossEntropyLoss", loss_weight=1.0))
+    ) is None
+
+    model = build_segmentor(TINY_SEG)
+    tx = optax.adam(1e-2)
+    sample = jnp.zeros((2, HW, HW, 3), jnp.float32)
+    state = create_seg_state(jax.random.PRNGKey(0), model, tx, sample)
+    train_step, eval_step, _ = make_seg_steps(
+        model, tx, 2, (HW, HW), loss_fn=loss_fn
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(2, HW, HW, 3).astype(np.float32)),
+        "mask": jnp.asarray((rng.rand(2, HW, HW) > 0.5).astype(np.int32)),
+    }
+    state1, _, m = jax.jit(train_step)(
+        state, batch, jax.random.PRNGKey(1), ConfusionState.create(2)
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["loss"]) <= 2.0  # Dice loss is bounded
+    moved = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(
+            lambda a, b: a - b, state1.params, state.params
+        ),
+        0.0,
+    )
+    assert moved > 0.0
+    # eval path with a padded batch composes with the custom loss
+    padded = dict(batch, valid=jnp.arange(2) < 1)
+    _, me = jax.jit(eval_step)(state1, padded, ConfusionState.create(2))
+    assert np.isfinite(float(me["loss"])) and float(me["weight"]) == 1.0
+
+
+def test_ohem_weights_min_kept_and_thresh():
+    """OHEM law: keeps at least min_kept lowest-confidence valid pixels;
+    with thresh, everything below max(kth, thresh)."""
+    from cp2_tpu.ops.seg_losses import ohem_weights
+
+    r = np.random.RandomState(0)
+    logits = jnp.asarray(r.randn(1, 8, 8, 2).astype(np.float32))
+    labels = jnp.asarray((r.rand(1, 8, 8) > 0.5).astype(np.int32))
+    w = ohem_weights(logits, labels, thresh=None, min_kept=10,
+                     ignore_index=255)
+    assert float(w.sum()) >= 10
+    # dropped pixels all have higher true-class confidence than kept ones
+    probs = jax.nn.softmax(logits, -1)
+    conf = jnp.take_along_axis(probs, labels[..., None], -1)[..., 0]
+    kept_max = float(jnp.where(w > 0, conf, -jnp.inf).max())
+    drop_min = float(jnp.where(w == 0, conf, jnp.inf).min())
+    assert kept_max <= drop_min + 1e-6

@@ -131,8 +131,13 @@ def main(args):
         start_iter = int(meta.get("iter", int(state.step)))
     elif args.load_from:
         state, _ = restore_checkpoint(args.load_from, state)
+    # decode_head.loss_decode + sampler config (Dice/Lovász/OHEM) — the
+    # mmseg losses path (decode_head.py:222-242); default CE stays None
+    from cp2_tpu.train.segmentation_task import build_decode_loss
+
+    decode_loss = build_decode_loss(dict(cfg.model.get("decode_head", {})))
     train_step, eval_step, _ = make_seg_steps(
-        model, tx, num_classes, (img_size, img_size)
+        model, tx, num_classes, (img_size, img_size), loss_fn=decode_loss
     )
 
     def norm_train(state, batch, rng, confusion):
