@@ -17,6 +17,18 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from cp2_tpu.data.class_names import (
+    ADE_CLASSES,
+    ADE_PALETTE,
+    CITYSCAPES_CLASSES,
+    CITYSCAPES_PALETTE,
+    PASCAL_CONTEXT_CLASSES,
+    VOC_CLASSES,
+    VOC_PALETTE,
+    get_classes,
+    get_palette,
+    random_palette,
+)
 from cp2_tpu.data.pipelines import build_pipeline
 from cp2_tpu.models.registry import Registry
 
@@ -167,10 +179,16 @@ class RepeatDataset:
 
 
 def _register_simple(name, classes, img_suffix=".jpg", seg_map_suffix=".png",
-                     reduce_zero_label=False):
+                     reduce_zero_label=False, palette=None):
     @DATASETS.register(name=name)
     class _DS(CustomDataset):
         CLASSES = classes
+        # datasets without a published colormap get mmseg's seed-42
+        # fallback palette (class_names.random_palette)
+        PALETTE = (
+            [list(c) for c in palette] if palette is not None
+            else random_palette(len(classes))
+        )
 
         def __init__(self, **kwargs):
             kwargs.setdefault("img_suffix", img_suffix)
@@ -182,29 +200,22 @@ def _register_simple(name, classes, img_suffix=".jpg", seg_map_suffix=".png",
     return _DS
 
 
-VOC_CLASSES = (
-    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
-    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
-    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
-)
-CITYSCAPES_CLASSES = (
-    "road", "sidewalk", "building", "wall", "fence", "pole", "traffic light",
-    "traffic sign", "vegetation", "terrain", "sky", "person", "rider", "car",
-    "truck", "bus", "train", "motorcycle", "bicycle",
-)
-ADE_CLASSES = tuple(f"class_{i}" for i in range(150))  # full table: mmseg class_names
 VESSEL_CLASSES = ("background", "vessel")
 
-PascalVOCDataset = _register_simple("PascalVOCDataset", VOC_CLASSES)
+PascalVOCDataset = _register_simple(
+    "PascalVOCDataset", VOC_CLASSES, palette=VOC_PALETTE
+)
 CityscapesDataset = _register_simple(
     "CityscapesDataset", CITYSCAPES_CLASSES,
     img_suffix="_leftImg8bit.png", seg_map_suffix="_gtFine_labelTrainIds.png",
+    palette=CITYSCAPES_PALETTE,
 )
 ADE20KDataset = _register_simple(
-    "ADE20KDataset", ADE_CLASSES, seg_map_suffix=".png", reduce_zero_label=True
+    "ADE20KDataset", ADE_CLASSES, seg_map_suffix=".png",
+    reduce_zero_label=True, palette=ADE_PALETTE,
 )
 PascalContextDataset = _register_simple(
-    "PascalContextDataset", tuple(f"class_{i}" for i in range(60))
+    "PascalContextDataset", PASCAL_CONTEXT_CLASSES
 )
 ChaseDB1Dataset = _register_simple(
     "ChaseDB1Dataset", VESSEL_CLASSES, img_suffix=".png",

@@ -194,3 +194,51 @@ def segmentation_overlay_grid(
     fig.savefig(save_path, dpi=120)
     plt.close(fig)
     return save_path
+
+
+def show_result(
+    img,
+    seg,
+    *,
+    palette=None,
+    num_classes: Optional[int] = None,
+    opacity: float = 0.5,
+    out_file: Optional[str] = None,
+):
+    """Palette overlay of a segmentation map on an image.
+
+    mmseg ``BaseSegmentor.show_result`` parity
+    (``mmseg_/models/segmentors/base.py:208-268``): each class painted
+    with its palette color, alpha-blended at ``opacity``; RGB in/out
+    (no cv2 BGR round trip).  ``img`` may be a path or an (H, W, 3)
+    uint8/float array; ``seg`` an (H, W) integer map.  Falls back to the
+    mmseg seed-42 random palette when none is given.
+
+    Returns the blended uint8 array (also written to ``out_file`` when
+    given).
+    """
+    from cp2_tpu.data.class_names import random_palette
+
+    if isinstance(img, (str, os.PathLike)):
+        from PIL import Image
+
+        with open(img, "rb") as f:
+            img = np.asarray(Image.open(f).convert("RGB"))
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    seg = np.asarray(seg).astype(np.int64)
+    if palette is None:
+        n = num_classes if num_classes is not None else int(seg.max()) + 1
+        palette = random_palette(max(n, 1))
+    palette = np.asarray(palette, dtype=np.uint8)
+    assert palette.ndim == 2 and palette.shape[1] == 3, palette.shape
+    assert 0 < opacity <= 1.0
+    color_seg = palette[np.clip(seg, 0, palette.shape[0] - 1)]
+    out = (img * (1 - opacity) + color_seg * opacity).astype(np.uint8)
+    if out_file is not None:
+        from PIL import Image
+
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
+        Image.fromarray(out).save(out_file)
+    return out
