@@ -61,10 +61,7 @@ def main():
         os.path.join(os.path.dirname(cp2_tpu.__file__), "configs", "config_pretrain.py")
     )
     model_cfg = dict(cfg.model)
-    hp = SSLHyperParams.for_variant(
-        PretrainType.CP2,
-        use_fused_dense_loss=os.environ.get("BENCH_FUSED", "0") == "1",
-    )
+    hp = SSLHyperParams.for_variant(PretrainType.CP2)
     model = SSLEncoder(
         model_cfg=model_cfg,
         pretrain_type=PretrainType.CP2,

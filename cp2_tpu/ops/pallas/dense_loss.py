@@ -13,6 +13,21 @@ accumulation), reduced immediately (softmax-over-queries statistics per
 key column), and discarded.  The backward pass recomputes the block
 flash-attention-style.
 
+STATUS — measured negative result, kept as a standalone op (round-3
+decision; the ``use_fused_dense_loss`` train-step flag was removed).
+Measurements (v5e, PARITY.md): standalone value+grad at 512²/S²=1024 the
+kernel is 1.48–1.90x FASTER than the naive XLA formulation across batch
+8–256 with identical losses — but inside the full CP2 step it is ~4%
+SLOWER (146.4 vs 152.8 img/s at 512² batch 8): the custom-VJP call
+boundary blocks XLA from fusing the loss into the surrounding graph, and
+the dense loss is <1% of a 512² step, so the fusion it forfeits outweighs
+the kernel's own win.  Lesson: a custom_vjp kernel must beat XLA by more
+than the fusion it forfeits at its boundary.  The op remains correct,
+tested (tests/test_pallas_dense_loss.py), and available for workloads
+where the pairwise object dominates (e.g. the loss alone at high
+resolution); S²>2048 exceeds the Mosaic VMEM envelope (query axis is
+resident) and falls back to XLA below.
+
 Exploited structure: labels are the mask outer product a_x·b_y, so
 
   loss_n = Σ_y b_y · (A·lse_y − s_y) / (T · A · B)

@@ -33,11 +33,6 @@ class SSLHyperParams:
     use_symmetrical_loss: bool = False
     pixel_ids_stride: int = 1
     unet_truncated_dec_blocks: int = 2
-    # flash-style Pallas dense loss (no (S^2,S^2) materialization); valid
-    # only with unit correspondence weights — the CP2 default.  Pays off at
-    # high resolution (512^2 lemon runs) where the pairwise tensors grow
-    # quartically.
-    use_fused_dense_loss: bool = False
     pretrain_type: PretrainType = PretrainType.CP2
     backbone_type: BackboneType = BackboneType.DEEPLABV3
     mapping_type: MappingType = MappingType.CP2

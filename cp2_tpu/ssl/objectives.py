@@ -168,39 +168,33 @@ def cp2_objective(
         jnp.einsum("nxc,nx->nc", k_dense, 1.0 - flat_mask_b), axis=-1
     )
 
-    # dense pairwise similarities (the attention-like hot op, builder.py:1289).
-    # The fused Pallas path streams key tiles through VMEM and never
-    # materializes the (S^2, S^2) tensors — usable when nothing downstream
-    # needs them (unit weights, NONE negatives, no dense metrics).
-    fused_dense = (
-        hp.use_fused_dense_loss
-        and unit_weights
-        and hp.negative_type == NegativeType.NONE
-        and metrics_level < 1
-    )
+    # dense pairwise similarities (the attention-like hot op,
+    # builder.py:1289).  A flash-style Pallas kernel for this object
+    # exists (ops/pallas/dense_loss.py) but is a measured NEGATIVE
+    # result in-step — the custom-VJP boundary blocks XLA fusion and the
+    # loss is <1% of even a 512^2 step — so the step always uses the
+    # fused-by-XLA einsum formulation (decision log in PARITY.md).
     metrics: Dict[str, jax.Array] = {}
     stats = None
-    logits_dense = labels_dense = None
-    if not fused_dense:
-        logits_dense = jnp.einsum("nxc,nyc->nxy", q_dense, k_dense)
-        labels_dense = jnp.einsum("nx,ny->nxy", flat_mask_a, flat_mask_b)
+    logits_dense = jnp.einsum("nxc,nyc->nxy", q_dense, k_dense)
+    labels_dense = jnp.einsum("nx,ny->nxy", flat_mask_a, flat_mask_b)
 
-        if metrics_level >= 1 or hp.negative_type in (
-            NegativeType.AVERAGE,
-            NegativeType.MEDIAN,
-        ):
-            stats = dense_loss_stats(logits_dense, labels_dense)
+    if metrics_level >= 1 or hp.negative_type in (
+        NegativeType.AVERAGE,
+        NegativeType.MEDIAN,
+    ):
+        stats = dense_loss_stats(logits_dense, labels_dense)
 
-        logits_dense = negative_reshape(
-            logits_dense,
-            labels_dense,
-            hp.negative_type.name,
-            hp.negative_scale,
-            negative_average=None if stats is None else stats["negative"]["average"],
-            negative_median=None if stats is None else stats["negative"]["quartiles"][1],
-        )
-        if corr_weights is not None:
-            logits_dense = logits_dense * corr_weights
+    logits_dense = negative_reshape(
+        logits_dense,
+        labels_dense,
+        hp.negative_type.name,
+        hp.negative_scale,
+        negative_average=None if stats is None else stats["negative"]["average"],
+        negative_median=None if stats is None else stats["negative"]["quartiles"][1],
+    )
+    if corr_weights is not None:
+        logits_dense = logits_dense * corr_weights
 
     # instance (MoCo) logits against the queue (builder.py:1394-1423)
     l_pos, l_neg = moco_logits(q_pos, k_pos, queue)
@@ -212,14 +206,7 @@ def cp2_objective(
     labels_moco = jnp.zeros((n,), jnp.int32)
     loss_instance = -jnp.mean(jax.nn.log_softmax(logits_moco, axis=1)[:, 0])
 
-    if fused_dense:
-        from cp2_tpu.ops.pallas.dense_loss import dense_pair_loss
-
-        loss_dense = dense_pair_loss(
-            q_dense, k_dense, flat_mask_a, flat_mask_b, hp.dense_logits_temp
-        )
-    else:
-        loss_dense = cp2_dense_loss(logits_dense, labels_dense, hp.dense_logits_temp)
+    loss_dense = cp2_dense_loss(logits_dense, labels_dense, hp.dense_logits_temp)
     loss = loss_instance + loss_dense * hp.lmbd_cp2_dense_loss
 
     if metrics_level >= 1:

@@ -86,12 +86,6 @@ def get_args(argv=None):
     parser.add_argument('--instance_logits_temp', default=0.2, type=float)
 
     parser.add_argument('--lemon_data', action='store_true')
-    parser.add_argument('--fused_dense_loss', action='store_true', default=None,
-                        help='flash-style Pallas dense loss (opt-in: wins '
-                             'standalone at 512^2 but measured slower inside '
-                             'the full step — see PARITY.md)')
-    parser.add_argument('--no-fused_dense_loss', dest='fused_dense_loss',
-                        action='store_false')
     parser.add_argument('--img_height', default=224, type=int)
     parser.add_argument('--img_width', default=224, type=int)
     parser.add_argument('--foreground_min', default=0.5, type=float)
@@ -233,12 +227,6 @@ def main(args):
         use_predictor=args.use_predictor,
         use_avgpool_global=args.use_avgpool_global,
         use_symmetrical_loss=args.use_symmetrical_loss,
-        # the flash-style kernel wins standalone at 512² (1.5-1.9x) but
-        # measured ~4% SLOWER inside the full lemon step (the custom-VJP
-        # boundary blocks XLA from fusing the loss into the surrounding
-        # graph, and the dense loss is <1% of a 512² step) — so it is
-        # opt-in everywhere; see PARITY.md for the measurements
-        use_fused_dense_loss=bool(args.fused_dense_loss),
     )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -357,18 +345,6 @@ def main(args):
         if args.metrics_level > 0
         else step_fn
     )
-    if hp.use_fused_dense_loss and args.metrics_level > 0:
-        # the fused kernel cannot produce the dense score statistics, so
-        # every scalar_freq-th (logging) step trains through the unfused
-        # f32 loss while quiet steps use the bf16 Pallas kernel — gradient
-        # numerics alternate between the two implementations and the
-        # logged loss comes from the unfused path
-        logger.warning(
-            "--fused_dense_loss with metrics_level>0: logging steps "
-            f"(every {args.scalar_freq}) run the UNFUSED f32 dense loss; "
-            "quiet steps run the bf16 Pallas kernel. Set --metrics_level 0 "
-            "for uniform kernel numerics."
-        )
     # third variant: first batch of a visual epoch additionally returns the
     # array payloads for the epoch-start artifacts (reference logs example
     # grids / IoU histograms / similarity heatmaps on the first batch of
