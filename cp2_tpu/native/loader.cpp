@@ -161,6 +161,12 @@ ResampleKernel build_triangle_kernel(int in_size, int out_size) {
 }
 
 void resize_bilinear(const Image& src, uint8_t* dst, int dh, int dw) {
+  if (src.h == dh && src.w == dw) {
+    // same-size PIL BILINEAR is the identity (scale=1 triangle kernel has a
+    // single unit-weight tap per output pixel) — skip the two filter passes
+    std::memcpy(dst, src.rgb.data(), size_t(dh) * dw * 3);
+    return;
+  }
   ResampleKernel kx = build_triangle_kernel(src.w, dw);
   ResampleKernel ky = build_triangle_kernel(src.h, dh);
   // horizontal pass into a float intermediate (src.h x dw x 3)
@@ -223,6 +229,12 @@ void rgb_to_gray(const Image& src, Gray* out) {
 // the float drift changes which source pixel wins at exact tile boundaries
 // — so accumulate the same way.
 void resize_nearest(const Gray& src, int32_t* dst, int dh, int dw) {
+  if (src.h == dh && src.w == dw) {
+    // same-size PIL NEAREST is the identity (xx accumulation starts at 0.5
+    // and steps by 1, so int(xx) == x exactly)
+    std::memcpy(dst, src.y.data(), size_t(dh) * dw * sizeof(int32_t));
+    return;
+  }
   const double sy = double(src.h) / dh;
   const double sx = double(src.w) / dw;
   std::vector<int> xmap(dw);
