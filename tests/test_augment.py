@@ -151,6 +151,50 @@ def test_gaussian_blur_preserves_mean():
     assert float(out.std()) < float(img.std())  # blur reduces variance
 
 
+def test_gaussian_blur_matches_depthwise_conv_reference():
+    """The banded-matmul blur must equal edge-pad + VALID depthwise conv.
+
+    Reference semantics: loader.py:121-130 (PIL GaussianBlur with clamped
+    borders).  This pins the MXU formulation to the straightforward conv
+    formulation it replaced, per shape incl. non-square.
+    """
+
+    def conv_blur(key, img, kernel_size=13):
+        k_sigma, _ = jax.random.split(key)
+        sigma = jax.random.uniform(k_sigma, minval=0.1, maxval=2.0)
+        half = kernel_size // 2
+        xs = jnp.arange(-half, half + 1, dtype=jnp.float32)
+        kernel = jnp.exp(-0.5 * (xs / sigma) ** 2)
+        kernel = kernel / kernel.sum()
+        x = jnp.pad(img, ((half, half), (half, half), (0, 0)), mode="edge")[None]
+        kv = kernel.reshape(kernel_size, 1, 1, 1)
+        kh = kernel.reshape(1, kernel_size, 1, 1)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+        )
+        b = x
+        for k in (kv, kh):
+            b = jax.lax.conv_general_dilated(
+                b,
+                jnp.broadcast_to(k, k.shape[:2] + (1, 3)),
+                (1, 1),
+                "VALID",
+                dimension_numbers=dn,
+                feature_group_count=3,
+            )
+        return b[0]
+
+    rs = np.random.RandomState(1)
+    for hw in [(16, 16), (31, 17)]:
+        img = jnp.asarray(rs.rand(*hw, 3).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        want = conv_blur(key, img)
+        got = F.gaussian_blur(key, img, (0.1, 2.0), p=1.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-6
+        )
+
+
 @pytest.mark.slow
 def test_pretrain_batch_augment_shapes_and_jit():
     cfg = AugmentConfig(out_hw=(32, 32))
