@@ -117,6 +117,62 @@ class DilatedConv3x3(nn.Module):
         return out
 
 
+class SpaceToDepthConv(nn.Module):
+    """7x7 stride-2 stem conv as a 4x4 stride-1 conv on a space-to-depth input.
+
+    The ResNet stem convolves a 3-channel image — on TPU the MXU runs at
+    ~4% efficiency there (3 of 128 input lanes live) and XLA prepends a
+    full-image layout copy (profiled: 16% of whole-mode inference, ~2% of
+    the CP2 pretrain step).  Rewriting the input as 2x2-block
+    space-to-depth ([H, W, C] → [H/2, W/2, 4C]) turns the same arithmetic
+    into a 4x4 stride-1 conv over 4C channels: with pixel x[2p+t] and
+    t+4 = 2m+v (m ∈ 0..3 kernel tap, v ∈ {0,1} block parity), the 7-tap
+    window becomes 4 taps over parity-split channels, with one zero tap at
+    t=-4 supplied by front-padding the kernel.  Exact up to accumulation
+    order; padding ((2,1),(2,1)) reproduces the original zero padding 3.
+
+    Parameter tree matches ``nn.Conv`` (``kernel`` of (7, 7, Cin, Cout)
+    HWIO), so checkpoints and converters are unaffected.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        n, h, w, _ = x.shape
+        # kernel tap t ∈ [-3, 3] → padded index t+4 = 2m+v; channel order of
+        # the reshaped kernel is (v, w_parity, c), matching the input reshape
+        k8 = jnp.pad(kernel.astype(self.dtype), ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k8 = k8.reshape(4, 2, 4, 2, cin, self.features)
+        k8 = k8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, self.features)
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, cin)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * cin)
+        dn = jax.lax.conv_dimension_numbers(
+            xs.shape, k8.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        out = jax.lax.conv_general_dilated(
+            xs, k8, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn
+        )
+        if bias is not None:
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvModule(nn.Module):
     """conv → norm → activation, NHWC.
 
@@ -167,7 +223,33 @@ class ConvModule(nn.Module):
             and self.padding in (None, d)
             and useful_frac <= 0.55
         )
-        if decompose:
+        # thin-input stem convs (C=3): MXU efficiency ~4% plus a full-image
+        # layout copy — the space-to-depth rewrite is exact (see
+        # SpaceToDepthConv) and needs even spatial dims.  Inference-only:
+        # measured +17.5% whole-mode serving throughput, but the training
+        # step is ~1.7% slower (the input reshuffle + kernel-reshape wgrad
+        # outweigh the forward saving once fwd+bwd share the HBM budget),
+        # so the train path keeps the plain conv.  Both paths declare the
+        # same conv/kernel (7,7,Cin,Cout) param.
+        s2d = (
+            not train
+            and k == 7
+            and self.stride == 2
+            and d == 1
+            and self.padding in (None, 3)
+            and x.ndim == 4
+            and x.shape[-1] <= 4
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        if s2d:
+            x = SpaceToDepthConv(
+                self.features,
+                use_bias=self.norm_cfg is None,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        elif decompose:
             x = DilatedConv3x3(
                 self.features,
                 self.dilation,

@@ -67,6 +67,57 @@ def test_decomposed_dilated_conv_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_space_to_depth_stem_conv_matches_dense():
+    """The s2d stem rewrite must equal the plain 7x7/s2/p3 conv — values
+    and both gradients — and keep the (7,7,Cin,Cout) param tree."""
+    from flax import linen as nn
+    from cp2_tpu.models.layers import SpaceToDepthConv
+
+    r = np.random.RandomState(0)
+    for h, w in [(16, 16), (32, 48)]:
+        x = jnp.asarray(r.randn(2, h, w, 3).astype(np.float32))
+        ref = nn.Conv(
+            16, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False
+        )
+        vref = ref.init(jax.random.PRNGKey(0), x)
+        kern = vref["params"]["kernel"]
+        assert kern.shape == (7, 7, 3, 16)
+        m = SpaceToDepthConv(16, use_bias=False)
+        want = ref.apply(vref, x)
+        got = m.apply({"params": {"kernel": kern}}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+        g1 = jax.grad(
+            lambda k, xx: jnp.sum(ref.apply({"params": {"kernel": k}}, xx) ** 2),
+            argnums=(0, 1),
+        )(kern, x)
+        g2 = jax.grad(
+            lambda k, xx: jnp.sum(m.apply({"params": {"kernel": k}}, xx) ** 2),
+            argnums=(0, 1),
+        )(kern, x)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_convmodule_s2d_gate():
+    """ConvModule routes the 7x7/s2 stem through the s2d path only for
+    thin even-sized inputs; the param tree is unchanged either way."""
+    r = np.random.RandomState(2)
+    for h, w, cin, expect_s2d in [(16, 16, 3, True), (15, 16, 3, False), (16, 16, 8, False)]:
+        x = jnp.asarray(r.randn(1, h, w, cin).astype(np.float32))
+        m = ConvModule(16, 7, stride=2, padding=3, norm_cfg=None, act=None)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        assert v["params"]["conv"]["kernel"].shape == (7, 7, cin, 16)
+        out = m.apply(v, x, train=False)
+        import flax.linen as nn
+
+        ref = nn.Conv(
+            16, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=True
+        )
+        want = ref.apply({"params": v["params"]["conv"]}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
 def test_flip_folded_into_resample():
     img = jnp.asarray(np.random.RandomState(0).rand(20, 24, 3).astype(np.float32))
     kw = dict(y0=jnp.float32(2.3), x0=jnp.float32(1.7),
