@@ -441,7 +441,16 @@ def grid_distortion(
 
     iy = jnp.clip(jnp.round(_reflect101(yy, h)).astype(jnp.int32), 0, h - 1)
     ix = jnp.clip(jnp.round(_reflect101(xx, w)).astype(jnp.int32), 0, w - 1)
-    warped_mask = mask[iy[:, None], ix[None, :]]
+    # nearest warp as two one-hot banded matmuls (warped = Py @ m @ Px^T),
+    # mirroring the image path: the 2-D fancy-index gather serializes on
+    # TPU (measured 25% of the finetune step at 352^2). Exact for integer
+    # class ids — each output row/col picks exactly one entry.
+    p_y = jax.nn.one_hot(iy, h, dtype=jnp.float32)
+    p_x = jax.nn.one_hot(ix, w, dtype=jnp.float32)
+    m = mask.astype(jnp.float32)
+    warped_mask = jnp.rint(
+        jnp.einsum("yj,jx->yx", p_y, jnp.einsum("jk,xk->jx", m, p_x))
+    ).astype(mask.dtype)
     out_mask = jnp.where(apply, warped_mask, mask)
     return out_img, out_mask
 

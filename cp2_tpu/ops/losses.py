@@ -89,7 +89,13 @@ def softmax_cross_entropy(
     the mean.
     """
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    # select the label channel with a fused compare-select-reduce instead of
+    # take_along_axis: the per-pixel gather serializes on TPU (measured 28%
+    # of the finetune step at 352^2 vs ~0 for this form)
+    classes = jnp.arange(log_probs.shape[-1], dtype=labels.dtype)
+    picked = jnp.sum(
+        jnp.where(labels[..., None] == classes, log_probs, 0.0), axis=-1
+    )
     valid = jnp.ones(picked.shape, bool)
     if ignore_index is not None:
         valid &= labels != ignore_index

@@ -459,7 +459,12 @@ def densecl_objective(
         backbone_sim = jnp.einsum("nxc,nyc->nxy", q_embd, k_embd)
         pos_idx = jnp.argmax(backbone_sim, axis=2)  # (N, S^2)
         local_sim = jnp.einsum("nxc,nyc->nxy", q_local, k_local)
-        pos_local = jnp.take_along_axis(local_sim, pos_idx[..., None], axis=2)[..., 0]
+        # row-select via fused compare-select-reduce: per-row gathers
+        # serialize on TPU (see ops/seg_losses._pick_label_channel)
+        hit = pos_idx[..., None] == jnp.arange(
+            local_sim.shape[2], dtype=pos_idx.dtype
+        )
+        pos_local = jnp.sum(jnp.where(hit, local_sim, 0.0), axis=2)
 
         # coordinate ground-truth blending (builder.py:838-855)
         corr = get_correlation_map(ids_q, ids_k)

@@ -80,7 +80,88 @@ def build_step():
         k: jnp.asarray((r.rand(batch, base, base, 3) * 255).astype(np.uint8))
         for k in ("fg", "bg0", "bg1")
     }
-    return jax.jit(step_fn, donate_argnums=0), state, raw
+    jitted = jax.jit(step_fn, donate_argnums=0)
+    key = jax.random.PRNGKey(42)  # per-step fold_in happens in-step
+    carry = [state]
+
+    def run_one(i):
+        carry[0], metrics = jitted(carry[0], raw, key)
+        return metrics["loss"]
+
+    return run_one
+
+
+def build_finetune_step():
+    """The fused finetune step at the reference envelope (same program as
+    ``tools/bench_finetune.py``): on-device aug + ResNet-50/ASPP fwd+bwd +
+    logit resize + CE + Adam + confusion update, batch 16 @ 352² bf16."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from cp2_tpu.augment import FinetuneAugmentConfig, finetune_augment_batch
+    from cp2_tpu.config import Config
+    from cp2_tpu.models import build_segmentor
+    from cp2_tpu.ops.metrics import ConfusionState
+    from cp2_tpu.train.segmentation_task import create_seg_state, make_seg_steps
+    import cp2_tpu
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    hw = int(os.environ.get("BENCH_HW", "352"))
+    num_classes = 2
+
+    cfg = Config.fromfile(
+        os.path.join(os.path.dirname(cp2_tpu.__file__), "configs",
+                     "config_finetune.py")
+    )
+    model_cfg = dict(cfg.model)
+    model_cfg["dtype"] = jnp.bfloat16
+    model_cfg["decode_head"]["num_classes"] = num_classes
+    model = build_segmentor(model_cfg)
+    tx = optax.chain(optax.add_decayed_weights(1e-4), optax.adam(1e-4))
+
+    sample = jnp.zeros((batch, hw, hw, 3), jnp.float32)
+    train_step, _, _ = make_seg_steps(model, tx, num_classes, (hw, hw))
+    state = create_seg_state(jax.random.PRNGKey(0), model, tx, sample)
+    aug_cfg = FinetuneAugmentConfig()
+
+    def fused_train_step(state, batch_d, rng, confusion):
+        k_aug, k_drop = jax.random.split(rng)
+        images, masks = finetune_augment_batch(
+            k_aug, batch_d["image"], batch_d["mask"], aug_cfg
+        )
+        return train_step(
+            state, {"image": images, "mask": masks}, k_drop, confusion
+        )
+
+    r = np.random.RandomState(0)
+    batch_d = {
+        "image": jnp.asarray(
+            (r.rand(batch, hw, hw, 3) * 255).astype(np.uint8)
+        ),
+        "mask": jnp.asarray(
+            (r.rand(batch, hw, hw) > 0.7).astype(np.int32)
+        ),
+    }
+    jitted = jax.jit(fused_train_step, donate_argnums=0)
+    rng = jax.random.PRNGKey(1)
+    carry = [state, ConfusionState.create(num_classes)]
+
+    def run_one(i):
+        carry[0], carry[1], m = jitted(
+            carry[0], batch_d, jax.random.fold_in(rng, i), carry[1]
+        )
+        return m["loss"]
+
+    return run_one
 
 
 def summarize(log_dir: str, top: int = 40):
@@ -182,21 +263,24 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--out", default="/tmp/cp2_profile")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--task", choices=("pretrain", "finetune"),
+                    default="pretrain")
     args = ap.parse_args()
 
     if not args.summarize_only:
         import jax
 
-        jitted, state, raw = build_step()
-        key = jax.random.PRNGKey(42)  # per-step fold_in happens in-step
+        run_one = (
+            build_finetune_step() if args.task == "finetune" else build_step()
+        )
         # compile + warm up outside the trace
         for i in range(2):
-            state, metrics = jitted(state, raw, key)
-        jax.block_until_ready(metrics["loss"])
+            loss = run_one(i)
+        jax.block_until_ready(loss)
         jax.profiler.start_trace(args.out)
-        for i in range(args.steps):
-            state, metrics = jitted(state, raw, key)
-        jax.block_until_ready(metrics["loss"])
+        for i in range(2, 2 + args.steps):
+            loss = run_one(i)
+        jax.block_until_ready(loss)
         jax.profiler.stop_trace()
     summarize(args.out)
     summarize_hlo(args.out)
