@@ -51,6 +51,9 @@ def _install_stub_modules():
 
     def mod(name):
         m = types.ModuleType(name)
+        # a real __file__ string keeps inspect.getmodule()'s sys.modules
+        # scan (torch lazy custom-op registration) from tripping over us
+        m.__file__ = f"<stub:{name}>"
         sys.modules[name] = m
         return m
 
@@ -76,7 +79,12 @@ def _install_stub_modules():
         tv_utils.make_grid = lambda *a, **k: None
         tv.utils = tv_utils
         tv_tf = mod("torchvision.transforms")
-        tv_tf.__getattr__ = lambda name: (lambda *a, **k: None)
+        def _tf_getattr(name):
+            if name.startswith("__"):  # keep inspect/import machinery sane
+                raise AttributeError(name)
+            return lambda *a, **k: None
+
+        tv_tf.__getattr__ = _tf_getattr
         tv.transforms = tv_tf
 
     # ---- torchmetrics ---------------------------------------------------
@@ -167,8 +175,14 @@ def _ensure_process_group():
     import torch.distributed as dist
 
     if not dist.is_initialized():
+        import os
+
+        # per-process file rendezvous: a fixed TCP port collides when two
+        # pytest processes (e.g. a full-suite run and a targeted run)
+        # initialize concurrently
         dist.init_process_group(
-            backend="gloo", init_method="tcp://localhost:29871",
+            backend="gloo",
+            init_method=f"file:///tmp/cp2_ref_pg_{os.getpid()}",
             world_size=1, rank=0,
         )
 

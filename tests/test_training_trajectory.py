@@ -1,0 +1,150 @@
+"""Multi-step training-TRAJECTORY parity vs the reference (SURVEY §7.3).
+
+``test_reference_fidelity*`` pins single forwards; this closes the loop on
+*dynamics*: N full optimizer steps — SGD+momentum+weight-decay on the query
+encoder, EMA (m=0.999) key-encoder update in the reference's order
+(pre-update, before the key forward — builder.py:471-476), and queue
+enqueues — on identical data must track the reference's per-step loss
+trajectory AND end at the same query/key weights.
+
+Single device, and the stub encoder has no normalization layers, so the
+global-batch-BN deviation (PARITY.md #1) does not bite here: any
+disagreement is optimizer math, EMA ordering, or queue/loss drift.
+
+Reference pieces exercised: ``builder.py:278-476`` (MODEL init, momentum
+update), ``forward_cp2``, and ``main.py:467-477`` (SGD momentum=0.9,
+weight_decay=1e-4).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tests._reference_harness import (
+    build_reference_model,
+    import_reference_builder,
+    stub_conv_weights,
+)
+from tests.test_reference_fidelity import (
+    BATCH,
+    DIM,
+    HW,
+    K,
+    SEED,
+    STRIDE,
+    _make_batch,
+    _queue_np,
+)
+
+from cp2_tpu.ssl import SSLHyperParams, create_pretrain_state
+from cp2_tpu.ssl.train_step import make_optimizer, make_pretrain_step
+from cp2_tpu.types import PretrainType
+
+N_STEPS = 6
+LR = 0.05
+
+
+def make_trainable_jax_stub(w_oihw: np.ndarray):
+    """Like test_reference_fidelity.make_jax_stub, but the kernel is a
+    trainable flax param so the optimizer/EMA act on it."""
+    w_hwio = jnp.asarray(w_oihw.transpose(2, 3, 1, 0))
+
+    class Model(nn.Module):
+        def setup(self):
+            self.kernel = self.param("kernel", lambda rng: w_hwio)
+
+        def __call__(self, img, *, train=True):
+            return self.dense(img, train=train)
+
+        def dense(self, img, *, train=True):
+            return jax.lax.conv_general_dilated(
+                img, self.kernel, (STRIDE, STRIDE), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def init_all(self, img):
+            return self.dense(img, train=False)
+
+    return Model()
+
+
+def _batches():
+    return [_make_batch(seed=100 + i) for i in range(N_STEPS)]
+
+
+def _run_reference_trajectory(batches):
+    builder = import_reference_builder()
+    torch.manual_seed(0)
+    model = build_reference_model(
+        builder, dim=DIM, stride=STRIDE, seed=SEED, queue_np=_queue_np(),
+        pretrain_type=builder.PretrainType["CP2"],
+    )
+    opt = torch.optim.SGD(
+        [p for p in model.parameters() if p.requires_grad],
+        lr=LR, momentum=0.9, weight_decay=1e-4,
+    )
+    losses = []
+    for i, b in enumerate(batches):
+        t = {k: torch.from_numpy(np.ascontiguousarray(
+                v.transpose(0, 3, 1, 2)) if v.ndim == 4 else v.copy())
+             for k, v in b.items()}
+        loss = model(
+            img_a=t["img_a"], img_b=t["img_b"], bg0=t["bg0"], bg1=t["bg1"],
+            visualize=False, step=i, new_epoch=False,
+            pixel_ids_a=t["pixel_ids_a"], pixel_ids_b=t["pixel_ids_b"],
+            region_ids_a=t["region_ids_a"], region_ids_b=t["region_ids_b"],
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    w_q = model.encoder_q.dense_conv.weight.detach().numpy().copy()
+    w_k = model.encoder_k.dense_conv.weight.detach().numpy().copy()
+    return losses, w_q, w_k
+
+
+def _run_ours_trajectory(batches):
+    hp = SSLHyperParams.for_variant(PretrainType.CP2, dim=DIM, queue_len=K)
+    model = make_trainable_jax_stub(stub_conv_weights(SEED, DIM, STRIDE))
+    tx = make_optimizer("sgd", LR)  # momentum=0.9, weight_decay=1e-4
+    sample = jnp.zeros((BATCH, HW, HW, 3), jnp.float32)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    state = state.replace(queue=jnp.asarray(_queue_np()))
+    step = jax.jit(make_pretrain_step(model, tx, hp, STRIDE, 32,
+                                      metrics_level=1))
+    losses = []
+    for i, b in enumerate(batches):
+        jb = {k: jnp.asarray(v.astype(np.int32)) if v.ndim == 3
+              else jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step(state, jb,
+                              jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(metrics["loss"]))
+    # HWIO -> OIHW for comparison against torch
+    w_q = np.asarray(state.params["kernel"]).transpose(3, 2, 0, 1)
+    w_k = np.asarray(state.ema_params["kernel"]).transpose(3, 2, 0, 1)
+    return losses, w_q, w_k
+
+
+@pytest.mark.slow
+def test_cp2_training_trajectory_matches_reference():
+    batches = _batches()
+    ref_losses, ref_wq, ref_wk = _run_reference_trajectory(batches)
+    our_losses, our_wq, our_wk = _run_ours_trajectory(batches)
+
+    # losses must track step by step (divergence compounds through the
+    # optimizer+EMA+queue state, so the tolerance is looser than the
+    # single-forward 2e-4 gate)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
+    # the trajectory must also END in the same place
+    np.testing.assert_allclose(our_wq, ref_wq, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(our_wk, ref_wk, rtol=2e-3, atol=1e-6)
+    # sanity: training actually moved the weights
+    assert not np.allclose(ref_wq, stub_conv_weights(SEED, DIM, STRIDE))
