@@ -77,12 +77,15 @@ def _batches():
     return [_make_batch(seed=100 + i) for i in range(N_STEPS)]
 
 
-def _run_reference_trajectory(batches):
+def _run_reference_trajectory(batches, pretrain_type="CP2",
+                              mapping_type="CP2", **model_kwargs):
     builder = import_reference_builder()
     torch.manual_seed(0)
     model = build_reference_model(
         builder, dim=DIM, stride=STRIDE, seed=SEED, queue_np=_queue_np(),
-        pretrain_type=builder.PretrainType["CP2"],
+        pretrain_type=builder.PretrainType[pretrain_type],
+        mapping_type=builder.MappingType[mapping_type],
+        **model_kwargs,
     )
     opt = torch.optim.SGD(
         [p for p in model.parameters() if p.requires_grad],
@@ -108,8 +111,10 @@ def _run_reference_trajectory(batches):
     return losses, w_q, w_k
 
 
-def _run_ours_trajectory(batches):
-    hp = SSLHyperParams.for_variant(PretrainType.CP2, dim=DIM, queue_len=K)
+def _run_ours_trajectory(batches, hp=None):
+    if hp is None:
+        hp = SSLHyperParams.for_variant(PretrainType.CP2, dim=DIM,
+                                        queue_len=K)
     model = make_trainable_jax_stub(stub_conv_weights(SEED, DIM, STRIDE))
     tx = make_optimizer("sgd", LR)  # momentum=0.9, weight_decay=1e-4
     sample = jnp.zeros((BATCH, HW, HW, 3), jnp.float32)
@@ -148,3 +153,30 @@ def test_cp2_training_trajectory_matches_reference():
     np.testing.assert_allclose(our_wk, ref_wk, rtol=2e-3, atol=1e-6)
     # sanity: training actually moved the weights
     assert not np.allclose(ref_wq, stub_conv_weights(SEED, DIM, STRIDE))
+
+
+@pytest.mark.slow
+def test_proposed_weighted_training_trajectory_matches_reference():
+    """PROPOSED + PIXEL_REGION_ID correspondence weights (3/2/0.5): the
+    weighted dense loss (builder.py:1204-1243) shapes different gradients
+    than CP2, so this pins a second dynamics regime."""
+    from cp2_tpu.types import MappingType
+
+    kwargs = dict(
+        lmbd_pixel_corr_weight=3.0,
+        lmbd_region_corr_weight=2.0,
+        lmbd_not_corr_weight=0.5,
+    )
+    batches = _batches()
+    ref_losses, ref_wq, ref_wk = _run_reference_trajectory(
+        batches, pretrain_type="PROPOSED", mapping_type="PIXEL_REGION_ID",
+        **kwargs,
+    )
+    hp = SSLHyperParams.for_variant(
+        PretrainType.PROPOSED, dim=DIM, queue_len=K,
+        mapping_type=MappingType.PIXEL_REGION_ID, **kwargs,
+    )
+    our_losses, our_wq, our_wk = _run_ours_trajectory(batches, hp)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
+    np.testing.assert_allclose(our_wq, ref_wq, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(our_wk, ref_wk, rtol=2e-3, atol=1e-6)
