@@ -215,9 +215,16 @@ def stub_conv_weights(seed: int, dim: int, stride: int) -> np.ndarray:
 
 def make_torch_stub_factory(dim: int, stride: int, seed: int,
                             backbone_channels: int = 2048,
-                            backbone_stride: int = 32):
+                            backbone_stride: int = 32,
+                            with_bn: bool = False):
     """Returns a ``build_segmentor(cfg, ...)``-compatible factory producing
-    the deterministic conv stub (dense head + stage-4 backbone output)."""
+    the deterministic conv stub (dense head + stage-4 backbone output).
+
+    ``with_bn=True`` appends a ``BatchNorm2d(dim)`` to the dense path so the
+    BN-semantics trajectory test can pin running-stat/EMA behavior — note
+    the reference's MODEL __init__ probes ``encoder_q`` with random data in
+    train mode (builder.py:392-402), so the query BN buffers are already
+    non-trivial post-construction; callers must extract-and-inject them."""
     import torch
     import torch.nn as nn
 
@@ -246,11 +253,16 @@ def make_torch_stub_factory(dim: int, stride: int, seed: int,
             self.dense_conv = nn.Conv2d(3, dim, stride, stride, bias=False)
             with torch.no_grad():
                 self.dense_conv.weight.copy_(torch.from_numpy(w_dense))
+            if with_bn:
+                self.bn = nn.BatchNorm2d(dim)  # momentum 0.1, eps 1e-5
 
         def forward(self, img, img_metas=None, **kw):
             # mirrors the fork's img_metas=None hook
             # (mmseg_/models/segmentors/encoder_decoder.py:137-145)
-            return self.dense_conv(img)
+            out = self.dense_conv(img)
+            if with_bn:
+                out = self.bn(out)
+            return out
 
     def build_segmentor(cfg, train_cfg=None, test_cfg=None):
         return StubSegmentor()
@@ -270,6 +282,7 @@ class _CfgShim:
 def build_reference_model(builder, *, dim: int, stride: int, seed: int,
                           queue_np: np.ndarray, queue2_np=None,
                           backbone_stride: int = 32, rank: int = 1,
+                          stub_bn: bool = False,
                           **model_kwargs):
     """Construct reference ``MODEL`` around the stub encoder with a pinned
     queue.  ``queue_np`` is (K, dim) row-major (the rebuild's layout); the
@@ -278,7 +291,7 @@ def build_reference_model(builder, *, dim: int, stride: int, seed: int,
     import torch
 
     sys.modules["mmseg.models"].build_segmentor = make_torch_stub_factory(
-        dim, stride, seed, backbone_stride=backbone_stride
+        dim, stride, seed, backbone_stride=backbone_stride, with_bn=stub_bn
     )
     builder.build_segmentor = sys.modules["mmseg.models"].build_segmentor
     model = builder.MODEL(

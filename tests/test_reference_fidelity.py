@@ -8,6 +8,7 @@ weights.  Compared per variant: total loss, instance/dense components, and
 the queue-enqueue payload.
 
 What this does NOT cover: BatchNorm semantics (the stub encoder has none) —
+pinned separately by the BN trajectory regime in test_training_trajectory.py;
 the global-batch-BN-vs-shuffle-BN deviation is documented in PARITY.md and
 its layout-invariance proven in test_multichip.py.
 """

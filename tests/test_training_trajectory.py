@@ -7,9 +7,10 @@ encoder, EMA (m=0.999) key-encoder update in the reference's order
 enqueues — on identical data must track the reference's per-step loss
 trajectory AND end at the same query/key weights.
 
-Single device, and the stub encoder has no normalization layers, so the
-global-batch-BN deviation (PARITY.md #1) does not bite here: any
-disagreement is optimizer math, EMA ordering, or queue/loss drift.
+Single device. The first two regimes use a norm-free stub (any
+disagreement is optimizer math, EMA ordering, or queue/loss drift); the
+third adds BatchNorm to pin running-stat/EMA/buffer semantics — see the
+BN section below.
 
 Reference pieces exercised: ``builder.py:278-476`` (MODEL init, momentum
 update), ``forward_cp2``, and ``main.py:467-477`` (SGD momentum=0.9,
@@ -153,6 +154,202 @@ def test_cp2_training_trajectory_matches_reference():
     np.testing.assert_allclose(our_wk, ref_wk, rtol=2e-3, atol=1e-6)
     # sanity: training actually moved the weights
     assert not np.allclose(ref_wq, stub_conv_weights(SEED, DIM, STRIDE))
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm-semantics regime (the hole PARITY.md's fidelity table documents):
+# a BN-bearing encoder pins, against the reference's actual code,
+#   * train-mode batch-stat normalization on BOTH encoder paths,
+#   * EMA over .parameters() ONLY — γ/β averaged, running stats NOT
+#     (builder.py:557-567 excludes buffers),
+#   * independent running-stat evolution of query vs key encoders
+#     (torch momentum 0.1 == flax momentum 0.9),
+#   * the biased(flax)/unbiased(torch) running-VARIANCE law.
+# ---------------------------------------------------------------------------
+
+BN_MOMENTUM = 0.9  # flax convention; == torch BatchNorm2d momentum 0.1
+
+
+def make_trainable_jax_bn_stub(w_oihw: np.ndarray):
+    """Conv (trainable) -> BatchNorm, the flax twin of the torch BN stub."""
+    w_hwio = jnp.asarray(w_oihw.transpose(2, 3, 1, 0))
+
+    class Model(nn.Module):
+        def setup(self):
+            self.kernel = self.param("kernel", lambda rng: w_hwio)
+            self.bn = nn.BatchNorm(
+                use_running_average=None, momentum=BN_MOMENTUM,
+                epsilon=1e-5, dtype=jnp.float32,
+            )
+
+        def __call__(self, img, *, train=True):
+            return self.dense(img, train=train)
+
+        def dense(self, img, *, train=True):
+            x = jax.lax.conv_general_dilated(
+                img, self.kernel, (STRIDE, STRIDE), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return self.bn(x, use_running_average=not train)
+
+        def init_all(self, img):
+            return self.dense(img, train=False)
+
+    return Model()
+
+
+def _torch_bn_state(enc):
+    bn = enc.bn
+    return {
+        "scale": bn.weight.detach().numpy().copy(),
+        "bias": bn.bias.detach().numpy().copy(),
+        "mean": bn.running_mean.detach().numpy().copy(),
+        "var": bn.running_var.detach().numpy().copy(),
+    }
+
+
+def _run_reference_bn_trajectory(batches):
+    builder = import_reference_builder()
+    torch.manual_seed(0)
+    model = build_reference_model(
+        builder, dim=DIM, stride=STRIDE, seed=SEED, queue_np=_queue_np(),
+        pretrain_type=builder.PretrainType.CP2,
+        mapping_type=builder.MappingType.CP2,
+        stub_bn=True,
+    )
+    # post-construction buffers: MODEL.__init__ probed encoder_q in train
+    # mode with random data (builder.py:392-402), and the param copy-loop
+    # (builder.py:464-469) does NOT copy buffers — so q and k START with
+    # different running stats.  Capture both for injection.
+    init_q = _torch_bn_state(model.encoder_q)
+    init_k = _torch_bn_state(model.encoder_k)
+    opt = torch.optim.SGD(
+        [p for p in model.parameters() if p.requires_grad],
+        lr=LR, momentum=0.9, weight_decay=1e-4,
+    )
+    losses = []
+    for i, b in enumerate(batches):
+        t = {k: torch.from_numpy(np.ascontiguousarray(
+                v.transpose(0, 3, 1, 2)) if v.ndim == 4 else v.copy())
+             for k, v in b.items()}
+        loss = model(
+            img_a=t["img_a"], img_b=t["img_b"], bg0=t["bg0"], bg1=t["bg1"],
+            visualize=False, step=i, new_epoch=False,
+            pixel_ids_a=t["pixel_ids_a"], pixel_ids_b=t["pixel_ids_b"],
+            region_ids_a=t["region_ids_a"], region_ids_b=t["region_ids_b"],
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return {
+        "losses": losses,
+        "w_q": model.encoder_q.dense_conv.weight.detach().numpy().copy(),
+        "w_k": model.encoder_k.dense_conv.weight.detach().numpy().copy(),
+        "init_q": init_q, "init_k": init_k,
+        "final_q": _torch_bn_state(model.encoder_q),
+        "final_k": _torch_bn_state(model.encoder_k),
+    }
+
+
+def _run_ours_bn_trajectory(batches, init_q, init_k):
+    hp = SSLHyperParams.for_variant(PretrainType.CP2, dim=DIM, queue_len=K)
+    model = make_trainable_jax_bn_stub(stub_conv_weights(SEED, DIM, STRIDE))
+    tx = make_optimizer("sgd", LR)
+    sample = jnp.zeros((BATCH, HW, HW, 3), jnp.float32)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    # inject the torch model's exact post-construction state: affine params
+    # (identical q/k after the reference's copy loop) and the DIFFERENT
+    # per-encoder running stats
+    params = dict(state.params)
+    params["bn"] = {"scale": jnp.asarray(init_q["scale"]),
+                    "bias": jnp.asarray(init_q["bias"])}
+    state = state.replace(
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        batch_stats={"bn": {"mean": jnp.asarray(init_q["mean"]),
+                            "var": jnp.asarray(init_q["var"])}},
+        ema_batch_stats={"bn": {"mean": jnp.asarray(init_k["mean"]),
+                                "var": jnp.asarray(init_k["var"])}},
+        queue=jnp.asarray(_queue_np()),
+    )
+    step = jax.jit(make_pretrain_step(model, tx, hp, STRIDE, 32,
+                                      metrics_level=1))
+    losses = []
+    for i, b in enumerate(batches):
+        jb = {k: jnp.asarray(v.astype(np.int32)) if v.ndim == 3
+              else jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step(state, jb,
+                              jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(metrics["loss"]))
+
+    def tree_np(t):
+        return jax.tree_util.tree_map(np.asarray, t)
+
+    return {
+        "losses": losses,
+        "w_q": np.asarray(state.params["kernel"]).transpose(3, 2, 0, 1),
+        "w_k": np.asarray(state.ema_params["kernel"]).transpose(3, 2, 0, 1),
+        "bn_q": tree_np(state.params["bn"]),
+        "bn_k": tree_np(state.ema_params["bn"]),
+        "stats_q": tree_np(state.batch_stats["bn"]),
+        "stats_k": tree_np(state.ema_batch_stats["bn"]),
+    }
+
+
+def _expected_torch_running_var(ours_var, init_var, n_updates, n_elems):
+    """flax accumulates BIASED batch var into the running stat; torch
+    accumulates UNBIASED (n/(n-1)).  Both mix with the same momentum from
+    the same init, so: torch_T = m^T·init + c·(flax_T − m^T·init)."""
+    decay = BN_MOMENTUM ** n_updates
+    c = n_elems / (n_elems - 1)
+    return decay * init_var + c * (ours_var - decay * init_var)
+
+
+@pytest.mark.slow
+def test_cp2_bn_training_trajectory_matches_reference():
+    batches = _batches()
+    ref = _run_reference_bn_trajectory(batches)
+    ours = _run_ours_bn_trajectory(batches, ref["init_q"], ref["init_k"])
+
+    # the construction quirk must be real, or the injection proves nothing:
+    # q was probed in train mode, k was not
+    assert not np.allclose(ref["init_q"]["mean"], ref["init_k"]["mean"])
+
+    np.testing.assert_allclose(ours["losses"], ref["losses"], rtol=1e-3)
+    np.testing.assert_allclose(ours["w_q"], ref["w_q"], rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(ours["w_k"], ref["w_k"], rtol=2e-3, atol=1e-6)
+
+    # EMA covers the BN affine params (they are .parameters())...
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(ours["bn_q"][k], ref["final_q"][k],
+                                   rtol=2e-3, atol=1e-6)
+        np.testing.assert_allclose(ours["bn_k"][k], ref["final_k"][k],
+                                   rtol=2e-3, atol=1e-6)
+    # γ actually trained and the key γ actually EMA'd away from init
+    assert not np.allclose(ref["final_q"]["scale"], ref["init_q"]["scale"])
+
+    # ...but NOT the running stats: each encoder's stats evolve through its
+    # own forwards only.  Means match directly (same momentum law).
+    np.testing.assert_allclose(ours["stats_q"]["mean"], ref["final_q"]["mean"],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(ours["stats_k"]["mean"], ref["final_k"]["mean"],
+                               rtol=1e-4, atol=1e-6)
+    # key stats moved (train-mode key forwards) and differ from query stats
+    assert not np.allclose(ref["final_k"]["mean"], ref["init_k"]["mean"])
+    assert not np.allclose(ref["final_k"]["mean"], ref["final_q"]["mean"])
+
+    # variances match through the biased/unbiased conversion law
+    n_elems = BATCH * (HW // STRIDE) ** 2
+    for enc, init in (("q", ref["init_q"]), ("k", ref["init_k"])):
+        expected = _expected_torch_running_var(
+            ours[f"stats_{enc}"]["var"], init["var"], N_STEPS, n_elems
+        )
+        np.testing.assert_allclose(expected, ref[f"final_{enc}"]["var"],
+                                   rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.slow
