@@ -187,15 +187,19 @@ def main():
     # end-to-end rate: the SAME step fed by the native C++ loader decoding
     # real JPEGs from disk — the number a user sees with this host CPU.
     # The device-only figure above excludes the input pipeline entirely.
-    e2e_ips = None
+    e2e_ips = e2e_cached_ips = None
     if (
         not no_aug
         and scan_k == 1  # reuses the already-compiled single-step program
         and os.environ.get("BENCH_E2E", "1") == "1"
     ):
-        e2e_ips = _e2e_native_loader_ips(
-            jitted, state, batch, base,
-            steps=int(os.environ.get("BENCH_E2E_STEPS", "6")),
+        e2e_steps = int(os.environ.get("BENCH_E2E_STEPS", "6"))
+        e2e_ips = _e2e_native_loader_ips(jitted, state, batch, base,
+                                         steps=e2e_steps)
+        # same stream through the raw-frame cache (decode+resize amortized
+        # to one pass; steady-state epochs are mmap reads)
+        e2e_cached_ips = _e2e_native_loader_ips(
+            jitted, state, batch, base, steps=e2e_steps, raw_cache=True,
         )
 
     print(
@@ -210,6 +214,7 @@ def main():
                 "scope": "device-only",
                 "device_ips": round(ips_per_chip, 2),
                 "e2e_ips": e2e_ips,
+                "e2e_cached_ips": e2e_cached_ips,
                 "mfu": mfu,
                 "model_flops_per_step": flops_per_call,
             }
@@ -236,14 +241,22 @@ def _peak_bf16_flops(device) -> float | None:
     return None
 
 
-def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int):
-    """Drive the jitted step from the native JPEG decode pool (3 streams)."""
+def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
+                           raw_cache: bool = False):
+    """Drive the jitted step from the native JPEG decode pool (3 streams).
+
+    ``raw_cache=True`` attaches the raw-frame cache (steady-state epochs are
+    mmap reads, not decodes); the one-time build happens before timing."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     try:
-        from cp2_tpu.native import NativePretrainLoader, native_available
+        from cp2_tpu.native import (
+            NativePretrainLoader,
+            default_cache_path,
+            native_available,
+        )
 
         if not native_available():
             return None
@@ -263,8 +276,13 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int):
             ).save(f, quality=90)
 
     threads = max(os.cpu_count() or 1, 1)
+    cache = (
+        default_cache_path(data_dir, files, (base, base), "none")
+        if raw_cache else None
+    )
     loaders = [
-        NativePretrainLoader(files, batch, (base, base), threads=threads, seed=s)
+        NativePretrainLoader(files, batch, (base, base), threads=threads,
+                             seed=s, cache_path=cache)
         for s in (0, 1, 2)
     ]
     base_key = jax.random.PRNGKey(43)

@@ -98,6 +98,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cp2_loader_next_pair.restype = ctypes.c_int
     lib.cp2_loader_len.argtypes = [ctypes.c_void_p]
     lib.cp2_loader_len.restype = ctypes.c_int
+    lib.cp2_loader_cache_attach.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.cp2_loader_cache_attach.restype = ctypes.c_int
     lib.cp2_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -112,8 +116,30 @@ def build_error() -> Optional[str]:
     return _build_error
 
 
+def default_cache_path(cache_dir: str, files: Sequence[str],
+                       base_hw: Tuple[int, int], mode: str) -> str:
+    """Stable cache filename for a (file list, geometry, mode) combination.
+
+    Content freshness (sizes/mtimes) is validated natively at attach time;
+    this name only needs to distinguish different datasets sharing a dir.
+    """
+    h = hashlib.sha1()
+    h.update(f"{mode}:{base_hw[0]}x{base_hw[1]}".encode())
+    for f in files:
+        h.update(os.fsencode(f) + b"\0")
+    return os.path.join(cache_dir, f"rawframes_{h.hexdigest()[:16]}.rawc")
+
+
 class NativePretrainLoader:
-    """Epoch-iterating uint8 frame loader backed by the C++ worker pool."""
+    """Epoch-iterating uint8 frame loader backed by the C++ worker pool.
+
+    ``cache_path`` enables the raw-frame cache: the deterministic
+    decode+resize intermediate is computed once (built in parallel on first
+    use, invalidated when any source file changes) and mmap'd thereafter,
+    turning the per-epoch host cost from decode-bound into memcpy-bound.
+    ``cache_status``: 2 = existing cache mapped, 1 = built now, 0 = live
+    decode (cache unavailable or not requested).
+    """
 
     def __init__(
         self,
@@ -126,6 +152,7 @@ class NativePretrainLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         shard: Tuple[int, int] = (0, 1),
+        cache_path: Optional[str] = None,
     ):
         lib = _load()
         if lib is None:
@@ -141,6 +168,11 @@ class NativePretrainLoader:
         )
         if shard != (0, 1):
             lib.cp2_loader_set_shard(self._handle, shard[0], shard[1])
+        self.cache_status = 0
+        if cache_path:
+            self.cache_status = lib.cp2_loader_cache_attach(
+                self._handle, os.fsencode(cache_path), 1
+            )
         self._buf = np.empty(
             (batch_size, base_hw[0], base_hw[1], 3), dtype=np.uint8
         )
@@ -199,6 +231,7 @@ class NativePairLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         shard: Tuple[int, int] = (0, 1),
+        cache_path: Optional[str] = None,
     ):
         lib = _load()
         if lib is None:
@@ -220,6 +253,14 @@ class NativePairLoader:
         )
         if shard != (0, 1):
             lib.cp2_loader_set_shard(self._handle, shard[0], shard[1])
+        # raw-frame cache (see NativePretrainLoader): for mode="crop" the
+        # cached object is the SmallestMaxSize intermediate — the shared
+        # random/center crop is still applied per epoch at read time
+        self.cache_status = 0
+        if cache_path:
+            self.cache_status = lib.cp2_loader_cache_attach(
+                self._handle, os.fsencode(cache_path), 1
+            )
         self._img = np.empty((batch_size, base_hw[0], base_hw[1], 3), np.uint8)
         self._aux = np.empty((batch_size, base_hw[0], base_hw[1]), np.int32)
 

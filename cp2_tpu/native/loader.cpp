@@ -14,6 +14,9 @@
 //   void  cp2_loader_start_epoch(void*, int epoch);
 //   int   cp2_loader_next(void*, unsigned char* out);  // >0 valid rows, 0 end
 //   int   cp2_loader_len(void*);                        // batches per epoch
+//   int   cp2_loader_cache_attach(void*, const char* path, int build);
+//         // raw-frame cache: 2 = valid cache mapped, 1 = built then mapped,
+//         // 0 = unavailable (falls back to live decode)
 //   void  cp2_loader_destroy(void*);
 //
 // next/next_pair return the number of VALID rows in the delivered batch
@@ -39,6 +42,11 @@
 #include <csetjmp>
 #include <jpeglib.h>
 #include <png.h>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
 
@@ -259,6 +267,54 @@ void resize_nearest(const Gray& src, int32_t* dst, int dh, int dw) {
 //                / mask nearest (reference finetune_dataset.py:89-117)
 enum AuxMode { AUX_NONE = 0, AUX_RESIZE = 1, AUX_CROP = 2 };
 
+// ---------------------------------------------------------------------------
+// Raw-frame cache: the decode+resample work per item is DETERMINISTIC (the
+// per-epoch randomness — shuffle order, AUX_CROP window — happens after it),
+// so it is computed once and mmap'd thereafter.  At the measured ~1 GB/s of
+// page-cache reads this turns a decode-bound host (≈200 img/s/core) into a
+// memcpy-bound one (thousands of img/s), which is what lets a small-core
+// host keep a TPU chip fed.  Cached intermediate per mode:
+//   AUX_NONE / AUX_RESIZE — the final (height, width) base frame [+ aux map]
+//   AUX_CROP              — the SmallestMaxSize intermediate (rh, rw) pair;
+//                           the shared random/center crop stays at read time
+// Layout: header | 8-aligned blobs | index (one CacheRec per FILE index).
+// The key hashes every path + size + mtime, so edits invalidate the file.
+// ---------------------------------------------------------------------------
+
+struct CacheHeader {
+  char magic[8];  // "CP2RAWC1"
+  uint32_t mode;
+  int32_t n, h, w;
+  uint64_t key;
+  uint64_t index_off;
+};
+
+struct CacheRec {
+  uint64_t img_off, aux_off;
+  int32_t h, w;  // blob dims (== base h/w except AUX_CROP intermediates)
+};
+
+constexpr char kCacheMagic[8] = {'C', 'P', '2', 'R', 'A', 'W', 'C', '1'};
+
+uint64_t fnv1a(uint64_t h, const void* data, size_t n) {
+  const uint8_t* p = static_cast<const uint8_t*>(data);
+  for (size_t i = 0; i < n; ++i) {
+    h ^= p[i];
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+uint64_t hash_path_stat(uint64_t h, const std::string& path) {
+  h = fnv1a(h, path.data(), path.size());
+  struct stat st;
+  if (stat(path.c_str(), &st) == 0) {
+    h = fnv1a(h, &st.st_size, sizeof(st.st_size));
+    h = fnv1a(h, &st.st_mtime, sizeof(st.st_mtime));
+  }
+  return h;
+}
+
 struct Loader {
   std::vector<std::string> paths;
   std::vector<std::string> aux_paths;
@@ -294,6 +350,12 @@ struct Loader {
   bool stopping = false;
 
   std::vector<std::thread> workers;
+
+  // raw-frame cache (mmap'd; see CacheHeader above)
+  const uint8_t* cache_map = nullptr;
+  size_t cache_bytes = 0;
+  const CacheRec* cache_recs = nullptr;
+  bool cache_ok = false;
 
   size_t frame_bytes() const { return size_t(height) * width * 3; }
   size_t aux_elems() const { return size_t(height) * width; }
@@ -334,18 +396,26 @@ struct Loader {
       workers.emplace_back([this] { worker_loop(); });
   }
 
-  // one (image[, aux]) item into preallocated output slots
-  void load_item(size_t idx, uint8_t* img_out, int32_t* aux_out) {
+  // deterministic decode+resample intermediate for FILE index fi (this is
+  // exactly what the raw cache stores): final base frame for
+  // AUX_NONE/AUX_RESIZE, the SmallestMaxSize pair for AUX_CROP
+  void make_intermediate(size_t fi, Image* img_out, Gray* aux_out) {
     Image img;
-    if (!decode_any(paths[order[idx]], &img) || img.h == 0) {
-      memset(img_out, 0, frame_bytes());
-      if (aux_out) memset(aux_out, 0, aux_elems() * sizeof(int32_t));
+    if (!decode_any(paths[fi], &img) || img.h == 0) {
+      img_out->h = height;
+      img_out->w = width;
+      img_out->rgb.assign(frame_bytes(), 0);
+      if (aux_mode != AUX_NONE) {
+        aux_out->h = height;
+        aux_out->w = width;
+        aux_out->y.assign(aux_elems(), 0);
+      }
       return;
     }
     Gray aux;
     if (aux_mode != AUX_NONE) {
       Image aux_rgb;
-      if (!decode_any(aux_paths[order[idx]], &aux_rgb) || aux_rgb.h == 0) {
+      if (!decode_any(aux_paths[fi], &aux_rgb) || aux_rgb.h == 0) {
         aux.h = img.h;
         aux.w = img.w;
         aux.y.assign(size_t(img.h) * img.w, 0);
@@ -355,44 +425,204 @@ struct Loader {
     }
     if (aux_mode == AUX_CROP) {
       // SmallestMaxSize: scale so min side == target side (height == width
-      // here); then one crop window shared by image and mask
+      // here); the crop itself is per-epoch random and NOT part of the
+      // intermediate
       int s = height;  // square target
       float scale = float(s) / std::min(img.w, img.h);
       int rw = std::max(s, int(std::lround(img.w * scale)));
       int rh = std::max(s, int(std::lround(img.h * scale)));
-      Image rimg;
-      rimg.h = rh;
-      rimg.w = rw;
-      rimg.rgb.resize(size_t(rh) * rw * 3);
-      resize_bilinear(img, rimg.rgb.data(), rh, rw);
-      Gray raux;
-      raux.h = rh;
-      raux.w = rw;
-      raux.y.resize(size_t(rh) * rw);
-      resize_nearest(aux, raux.y.data(), rh, rw);
-      int y0, x0;
-      if (random_crop) {
-        // deterministic per (seed, epoch, item): reproducible epochs,
-        // thread-schedule independent
-        std::mt19937 rng(seed * 2654435761u ^ unsigned(epoch) * 40503u ^
-                         unsigned(order[idx]) * 2246822519u);
-        y0 = int(rng() % unsigned(rh - s + 1));
-        x0 = int(rng() % unsigned(rw - s + 1));
+      img_out->h = rh;
+      img_out->w = rw;
+      img_out->rgb.resize(size_t(rh) * rw * 3);
+      resize_bilinear(img, img_out->rgb.data(), rh, rw);
+      aux_out->h = rh;
+      aux_out->w = rw;
+      aux_out->y.resize(size_t(rh) * rw);
+      resize_nearest(aux, aux_out->y.data(), rh, rw);
+      return;
+    }
+    img_out->h = height;
+    img_out->w = width;
+    img_out->rgb.resize(frame_bytes());
+    resize_bilinear(img, img_out->rgb.data(), height, width);
+    if (aux_mode == AUX_RESIZE) {
+      aux_out->h = height;
+      aux_out->w = width;
+      aux_out->y.resize(aux_elems());
+      resize_nearest(aux, aux_out->y.data(), height, width);
+    }
+  }
+
+  // AUX_CROP read-time tail: one crop window shared by image and mask,
+  // deterministic per (seed, epoch, item) — reproducible epochs,
+  // thread-schedule independent
+  void crop_pair(const uint8_t* rimg, const int32_t* raux, int rh, int rw,
+                 size_t fi, uint8_t* img_out, int32_t* aux_out) {
+    int s = height;
+    int y0, x0;
+    if (random_crop) {
+      std::mt19937 rng(seed * 2654435761u ^ unsigned(epoch) * 40503u ^
+                       unsigned(fi) * 2246822519u);
+      y0 = int(rng() % unsigned(rh - s + 1));
+      x0 = int(rng() % unsigned(rw - s + 1));
+    } else {
+      y0 = (rh - s) / 2;
+      x0 = (rw - s) / 2;
+    }
+    for (int y = 0; y < s; ++y) {
+      memcpy(img_out + size_t(y) * s * 3,
+             rimg + (size_t(y0 + y) * rw + x0) * 3, size_t(s) * 3);
+      memcpy(aux_out + size_t(y) * s,
+             raux + size_t(y0 + y) * rw + x0, size_t(s) * sizeof(int32_t));
+    }
+  }
+
+  // one (image[, aux]) item into preallocated output slots
+  void load_item(size_t idx, uint8_t* img_out, int32_t* aux_out) {
+    size_t fi = order[idx];
+    if (cache_ok) {
+      const CacheRec& r = cache_recs[fi];
+      const uint8_t* ib = cache_map + r.img_off;
+      if (aux_mode == AUX_CROP) {
+        crop_pair(ib, reinterpret_cast<const int32_t*>(cache_map + r.aux_off),
+                  r.h, r.w, fi, img_out, aux_out);
       } else {
-        y0 = (rh - s) / 2;
-        x0 = (rw - s) / 2;
-      }
-      for (int y = 0; y < s; ++y) {
-        memcpy(img_out + size_t(y) * s * 3,
-               rimg.rgb.data() + (size_t(y0 + y) * rw + x0) * 3,
-               size_t(s) * 3);
-        for (int x = 0; x < s; ++x)
-          aux_out[size_t(y) * s + x] = raux.y[size_t(y0 + y) * rw + x0 + x];
+        memcpy(img_out, ib, frame_bytes());
+        if (aux_mode == AUX_RESIZE)
+          memcpy(aux_out, cache_map + r.aux_off,
+                 aux_elems() * sizeof(int32_t));
       }
       return;
     }
-    resize_bilinear(img, img_out, height, width);
-    if (aux_mode == AUX_RESIZE) resize_nearest(aux, aux_out, height, width);
+    Image rimg;
+    Gray raux;
+    make_intermediate(fi, &rimg, &raux);
+    if (aux_mode == AUX_CROP) {
+      crop_pair(rimg.rgb.data(), raux.y.data(), rimg.h, rimg.w, fi, img_out,
+                aux_out);
+      return;
+    }
+    memcpy(img_out, rimg.rgb.data(), frame_bytes());
+    if (aux_mode == AUX_RESIZE)
+      memcpy(aux_out, raux.y.data(), aux_elems() * sizeof(int32_t));
+  }
+
+  uint64_t cache_key() const {
+    uint64_t h = 14695981039346656037ull;
+    int32_t meta[3] = {int32_t(aux_mode), height, width};
+    h = fnv1a(h, meta, sizeof(meta));
+    for (const auto& p : paths) h = hash_path_stat(h, p);
+    for (const auto& p : aux_paths) h = hash_path_stat(h, p);
+    return h;
+  }
+
+  void cache_detach() {
+    if (cache_map) munmap(const_cast<uint8_t*>(cache_map), cache_bytes);
+    cache_map = nullptr;
+    cache_recs = nullptr;
+    cache_bytes = 0;
+    cache_ok = false;
+  }
+
+  bool cache_load(const char* path) {
+    cache_detach();
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || size_t(st.st_size) < sizeof(CacheHeader)) {
+      close(fd);
+      return false;
+    }
+    void* m = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+    close(fd);  // the mapping keeps the file alive
+    if (m == MAP_FAILED) return false;
+    const auto* hdr = static_cast<const CacheHeader*>(m);
+    bool valid =
+        memcmp(hdr->magic, kCacheMagic, 8) == 0 &&
+        hdr->mode == uint32_t(aux_mode) && hdr->n == int32_t(paths.size()) &&
+        hdr->h == height && hdr->w == width && hdr->key == cache_key() &&
+        hdr->index_off + sizeof(CacheRec) * paths.size() <=
+            uint64_t(st.st_size);
+    if (!valid) {
+      munmap(m, st.st_size);
+      return false;
+    }
+    cache_map = static_cast<const uint8_t*>(m);
+    cache_bytes = st.st_size;
+    cache_recs =
+        reinterpret_cast<const CacheRec*>(cache_map + hdr->index_off);
+    cache_ok = true;
+    return true;
+  }
+
+  bool cache_build(const char* path) {
+    // per-process tmp name: concurrent builders (multi-host shared cache
+    // dir) each write their own file; the atomic rename means last-wins
+    // with both results valid
+    std::string tmp =
+        std::string(path) + ".tmp." + std::to_string(getpid());
+    FILE* f = fopen(tmp.c_str(), "wb");
+    if (!f) return false;
+    CacheHeader hdr{};
+    memcpy(hdr.magic, kCacheMagic, 8);
+    hdr.mode = uint32_t(aux_mode);
+    hdr.n = int32_t(paths.size());
+    hdr.h = height;
+    hdr.w = width;
+    hdr.key = cache_key();
+    fwrite(&hdr, sizeof(hdr), 1, f);  // placeholder; rewritten at the end
+    std::vector<CacheRec> recs(paths.size());
+    uint64_t off = sizeof(CacheHeader);
+    std::mutex wmu;
+    std::atomic<size_t> cursor{0};
+    std::atomic<bool> failed{false};
+    auto pad8 = [&](uint64_t& o) {
+      static const uint8_t zeros[8] = {0};
+      uint64_t pad = (8 - o % 8) % 8;
+      if (pad) fwrite(zeros, 1, pad, f);
+      o += pad;
+    };
+    auto work = [&] {
+      for (;;) {
+        size_t i = cursor.fetch_add(1);
+        if (i >= paths.size() || failed.load()) return;
+        Image img;
+        Gray aux;
+        make_intermediate(i, &img, &aux);
+        std::lock_guard<std::mutex> lock(wmu);
+        pad8(off);
+        recs[i].img_off = off;
+        recs[i].h = img.h;
+        recs[i].w = img.w;
+        if (fwrite(img.rgb.data(), 1, img.rgb.size(), f) != img.rgb.size())
+          failed = true;
+        off += img.rgb.size();
+        recs[i].aux_off = 0;
+        if (aux_mode != AUX_NONE) {
+          pad8(off);
+          recs[i].aux_off = off;
+          size_t nb = aux.y.size() * sizeof(int32_t);
+          if (fwrite(aux.y.data(), 1, nb, f) != nb) failed = true;
+          off += nb;
+        }
+      }
+    };
+    std::vector<std::thread> pool;
+    int n = std::max(1, threads);
+    for (int t = 0; t < n; ++t) pool.emplace_back(work);
+    for (auto& t : pool) t.join();
+    pad8(off);
+    hdr.index_off = off;
+    fwrite(recs.data(), sizeof(CacheRec), recs.size(), f);
+    rewind(f);
+    fwrite(&hdr, sizeof(hdr), 1, f);
+    bool ok = !failed.load();
+    ok = (fclose(f) == 0) && ok;
+    if (!ok || rename(tmp.c_str(), path) != 0) {
+      remove(tmp.c_str());
+      return false;
+    }
+    return cache_load(path);
   }
 
   void worker_loop() {
@@ -450,7 +680,10 @@ struct Loader {
     workers.clear();
   }
 
-  ~Loader() { join_workers(); }
+  ~Loader() {
+    join_workers();
+    cache_detach();
+  }
 };
 
 }  // namespace
@@ -511,6 +744,18 @@ int cp2_loader_len(void* handle) {
   auto* l = static_cast<Loader*>(handle);
   size_t n = l->shard_len();
   return l->drop_last ? int(n / l->batch) : int((n + l->batch - 1) / l->batch);
+}
+
+// Raw-frame cache: map `path` if it is a valid cache for this loader's
+// file list (paths + sizes + mtimes participate in the key); otherwise,
+// when `build` != 0, decode every item once with the worker pool, write the
+// cache, and map it.  Returns 2 (existing cache mapped), 1 (built then
+// mapped), 0 (unavailable — loader keeps decoding live).
+int cp2_loader_cache_attach(void* handle, const char* path, int build) {
+  auto* l = static_cast<Loader*>(handle);
+  if (l->cache_load(path)) return 2;
+  if (build && l->cache_build(path)) return 1;
+  return 0;
 }
 
 void cp2_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -45,6 +45,9 @@ def get_args(argv=None):
                         help='use the C++ decode pool when available')
     parser.add_argument('--no-native_loader', dest='native_loader',
                         action='store_false')
+    parser.add_argument('--raw_cache_dir', type=str, default=None,
+                        help='directory for the native raw-frame cache '
+                             '(decode+SmallestMaxSize once, mmap after)')
     parser.add_argument('--fast_dev_run', action='store_true')
     parser.add_argument('--use_profiler', action='store_true')
 
@@ -177,18 +180,30 @@ def main(args):
         )
     local_batch = args.batch_size // shard[1]
 
+    if getattr(args, "raw_cache_dir", None):
+        os.makedirs(args.raw_cache_dir, exist_ok=True)
+
     def loader(paths, random_crop, shuffle, seed=0):
         if getattr(args, "native_loader", False):
             try:
-                from cp2_tpu.native import NativePairLoader, native_available
+                from cp2_tpu.native import (
+                    NativePairLoader,
+                    default_cache_path,
+                    native_available,
+                )
 
                 if native_available():
+                    mode = "crop" if geometry == "crop" else "region"
+                    cache = default_cache_path(
+                        args.raw_cache_dir,
+                        [p for pr in paths for p in pr], hw, mode,
+                    ) if getattr(args, "raw_cache_dir", None) else None
                     return NativePairLoader(
-                        paths, local_batch, hw,
-                        mode="crop" if geometry == "crop" else "region",
+                        paths, local_batch, hw, mode=mode,
                         random_crop=random_crop, num_classes=args.num_classes,
                         threads=max(args.num_workers, 1), seed=seed,
                         shuffle=shuffle, drop_last=shuffle, shard=shard,
+                        cache_path=cache,
                     )
             except Exception as e:
                 logger.info(f"native loader unavailable ({e}); using Python loader")

@@ -37,6 +37,9 @@ def get_args(argv=None):
                         help='use the C++ decode pool when available')
     parser.add_argument('--no-native_loader', dest='native_loader',
                         action='store_false')
+    parser.add_argument('--raw_cache_dir', type=str, default=None,
+                        help='directory for the native raw-frame cache '
+                             '(decode+resize once, mmap after)')
     parser.add_argument('--fast_dev_run', action='store_true')
     parser.add_argument('--use_profiler', action='store_true')
 
@@ -142,19 +145,30 @@ def main(args):
         )
     local_batch = args.batch_size // shard[1]
 
+    if getattr(args, "raw_cache_dir", None):
+        os.makedirs(args.raw_cache_dir, exist_ok=True)
+
     def loader(files, shuffle, seed):
         # the mirror path runs the largest frames (512²/544×1024), where
         # host decode cost hurts most — prefer the C++ pool like the
         # pretrain/finetune CLIs
         if getattr(args, "native_loader", True):
             try:
-                from cp2_tpu.native import NativePretrainLoader, native_available
+                from cp2_tpu.native import (
+                    NativePretrainLoader,
+                    default_cache_path,
+                    native_available,
+                )
 
                 if native_available():
+                    cache = default_cache_path(
+                        args.raw_cache_dir, files, base_hw, "none"
+                    ) if getattr(args, "raw_cache_dir", None) else None
                     return NativePretrainLoader(
                         files, local_batch, base_hw,
                         threads=max(args.num_workers, 1), seed=seed,
                         shuffle=shuffle, drop_last=shuffle, shard=shard,
+                        cache_path=cache,
                     )
             except Exception as e:
                 logger.info(f"native loader unavailable ({e}); using Python loader")

@@ -131,6 +131,10 @@ def get_args(argv=None):
                         help='use the C++ decode worker pool when available')
     parser.add_argument('--no-native_loader', dest='native_loader',
                         action='store_false')
+    parser.add_argument('--raw_cache_dir', type=str, default=None,
+                        help='directory for the native raw-frame cache: '
+                             'decode+resize runs once, later epochs mmap '
+                             '(invalidated when source files change)')
     # fmt: on
 
     args = parser.parse_args(argv)
@@ -255,6 +259,9 @@ def main(args):
         )
     local_batch = args.batch_size // shard[1]
 
+    if getattr(args, "raw_cache_dir", None):
+        os.makedirs(args.raw_cache_dir, exist_ok=True)
+
     def make_loader(seed, with_region=False):
         # prefer the native C++ decode pool when the toolchain is present;
         # else the Python loader.  Region-map pairing (SAM masks,
@@ -264,6 +271,7 @@ def main(args):
                 from cp2_tpu.native import (
                     NativePairLoader,
                     NativePretrainLoader,
+                    default_cache_path,
                     native_available,
                 )
 
@@ -271,16 +279,24 @@ def main(args):
                     if with_region:
                         from cp2_tpu.data.datasets import region_mask_path
 
+                        pairs = [(f, region_mask_path(f)) for f in files]
+                        cache = default_cache_path(
+                            args.raw_cache_dir,
+                            [p for pr in pairs for p in pr],
+                            base_hw, "region",
+                        ) if args.raw_cache_dir else None
                         return NativePairLoader(
-                            [(f, region_mask_path(f)) for f in files],
-                            local_batch, base_hw, mode="region",
+                            pairs, local_batch, base_hw, mode="region",
                             threads=max(args.num_workers, 1), seed=seed,
-                            shard=shard,
+                            shard=shard, cache_path=cache,
                         )
+                    cache = default_cache_path(
+                        args.raw_cache_dir, files, base_hw, "none"
+                    ) if args.raw_cache_dir else None
                     return NativePretrainLoader(
                         files, local_batch, base_hw,
                         threads=max(args.num_workers, 1), seed=seed,
-                        shard=shard,
+                        shard=shard, cache_path=cache,
                     )
             except Exception as e:  # fall back silently but log once
                 logger.info(f"native loader unavailable ({e}); using Python loader")

@@ -359,3 +359,107 @@ def test_seg_source_resize_mode_nonsquare(seg_tree):
     ref = _decode_mask(pairs[0][1], (24, 56))
     # seg_tree masks are 0/255; resize-mode multi-class keeps raw ids
     assert np.array_equal(batch["mask"][0], ref)
+
+
+# ---------------------------------------------------------------------------
+# raw-frame cache: decode+resample once, mmap thereafter — must be
+# bit-identical to live decode in every mode, and invalidate on source edits
+# ---------------------------------------------------------------------------
+
+
+def _epoch_frames(ld, epochs=(0, 1)):
+    out = []
+    for e in epochs:
+        for b in ld.epoch_iterator(e):
+            out.append({k: np.asarray(v).copy() for k, v in b.items()})
+    return out
+
+
+def _assert_batches_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert sorted(x) == sorted(y)
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+
+
+def test_native_cache_bit_exact_pretrain(seg_tree, tmp_path):
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, _ = seg_tree
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    kw = dict(batch_size=3, base_hw=(32, 32), threads=2, seed=7,
+              shuffle=True, drop_last=False)
+    live = native.NativePretrainLoader(files, **kw)
+    cache = str(tmp_path / "pre.rawc")
+    cached = native.NativePretrainLoader(files, cache_path=cache, **kw)
+    assert cached.cache_status == 1  # built now
+    _assert_batches_equal(_epoch_frames(live), _epoch_frames(cached))
+    # second attach maps the existing file
+    again = native.NativePretrainLoader(files, cache_path=cache, **kw)
+    assert again.cache_status == 2
+    _assert_batches_equal(_epoch_frames(live), _epoch_frames(again))
+
+
+@pytest.mark.parametrize("mode,hw", [("region", (24, 56)), ("crop", (24, 24))])
+def test_native_cache_bit_exact_pairs(seg_tree, tmp_path, mode, hw):
+    """Pair modes: region caches the final base pair; crop caches the
+    SmallestMaxSize intermediate and applies the per-epoch random crop at
+    read time — epochs 0 and 1 must both match live decode exactly."""
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, mask_dir = seg_tree
+    pairs = list_image_mask_pairs(img_dir, mask_dir)
+    kw = dict(batch_size=3, base_hw=hw, mode=mode, num_classes=2,
+              threads=2, seed=5, shuffle=True, drop_last=False)
+    live = native.NativePairLoader(pairs, **kw)
+    cache = str(tmp_path / f"{mode}.rawc")
+    cached = native.NativePairLoader(pairs, cache_path=cache, **kw)
+    assert cached.cache_status == 1
+    _assert_batches_equal(_epoch_frames(live), _epoch_frames(cached))
+
+
+def test_native_cache_invalidates_on_source_change(seg_tree, tmp_path):
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    from PIL import Image
+
+    img_dir, _ = seg_tree
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    # copy sources so we can mutate one without disturbing other tests
+    work = tmp_path / "src"
+    work.mkdir()
+    local = []
+    for f in files[:4]:
+        dst = work / os.path.basename(f)
+        dst.write_bytes(open(f, "rb").read())
+        local.append(str(dst))
+    kw = dict(batch_size=2, base_hw=(16, 16), threads=2, shuffle=False)
+    cache = str(tmp_path / "inv.rawc")
+    first = native.NativePretrainLoader(local, cache_path=cache, **kw)
+    assert first.cache_status == 1
+    del first
+    # mutate one source (new content + bumped mtime: st_mtime has 1s
+    # granularity, so set it explicitly)
+    Image.fromarray(
+        np.full((20, 20, 3), 200, np.uint8)
+    ).save(local[0])
+    st = os.stat(local[0])
+    os.utime(local[0], (st.st_atime, st.st_mtime + 10))
+    rebuilt = native.NativePretrainLoader(local, cache_path=cache, **kw)
+    assert rebuilt.cache_status == 1  # key mismatch -> rebuilt
+    frame = next(rebuilt.epoch_iterator(0))["image"][0]
+    assert abs(int(frame.mean()) - 200) <= 2
+
+
+def test_default_cache_path_distinguishes(seg_tree, tmp_path):
+    native = pytest.importorskip("cp2_tpu.native")
+    img_dir, _ = seg_tree
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    a = native.default_cache_path(str(tmp_path), files, (32, 32), "none")
+    b = native.default_cache_path(str(tmp_path), files, (48, 48), "none")
+    c = native.default_cache_path(str(tmp_path), files[:-1], (32, 32), "none")
+    assert len({a, b, c}) == 3 and a.startswith(str(tmp_path))

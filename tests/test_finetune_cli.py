@@ -83,6 +83,7 @@ def test_finetune_fast_dev_run_8dev(polyp_tree, tmp_path):
         "--batch_size", "8",
         "--img_height", "32", "--img_width", "32",
         "--num_workers", "2",
+        "--raw_cache_dir", str(tmp_path / "rawcache"),
         "--fast_dev_run",
         "--visualize_freq", "0",
         "--no-bf16",
