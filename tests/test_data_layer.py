@@ -463,3 +463,22 @@ def test_default_cache_path_distinguishes(seg_tree, tmp_path):
     b = native.default_cache_path(str(tmp_path), files, (48, 48), "none")
     c = native.default_cache_path(str(tmp_path), files[:-1], (32, 32), "none")
     assert len({a, b, c}) == 3 and a.startswith(str(tmp_path))
+
+
+def test_native_cache_with_sharding(seg_tree, tmp_path):
+    """Cache reads are indexed by FILE index, so a sharded loader must see
+    the same per-shard batches cached as live (any file can land on any
+    shard in later epochs — the cache always covers the full list)."""
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, _ = seg_tree
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    cache = str(tmp_path / "shard.rawc")
+    for shard in ((0, 2), (1, 2)):
+        kw = dict(batch_size=2, base_hw=(16, 16), threads=2, seed=3,
+                  shuffle=True, drop_last=True, shard=shard)
+        live = native.NativePretrainLoader(files, **kw)
+        cached = native.NativePretrainLoader(files, cache_path=cache, **kw)
+        assert cached.cache_status in (1, 2)
+        _assert_batches_equal(_epoch_frames(live), _epoch_frames(cached))
