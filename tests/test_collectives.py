@@ -50,6 +50,10 @@ def test_initialize_single_process_noop_before_backend():
     untouched (ordering property that round 1 violated)."""
     proc = _run("""
         import jax
+        # env JAX_PLATFORMS=cpu is not authoritative when an accelerator
+        # PJRT plugin is pre-registered (see conftest.py) — a down plugin
+        # backend would hang this child at first backend touch
+        jax.config.update("jax_platforms", "cpu")
         from jax._src import xla_bridge
         from cp2_tpu.parallel.collectives import initialize
         assert initialize() is False
@@ -66,6 +70,8 @@ def test_initialize_surfaces_errors():
     """Bad explicit args must raise, not except-pass into a silent
     single-host run."""
     proc = _run("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
         from cp2_tpu.parallel.collectives import initialize
         try:
             initialize(coordinator_address="localhost:1",  # nothing listens
