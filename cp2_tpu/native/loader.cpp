@@ -543,6 +543,21 @@ struct Loader {
         hdr->h == height && hdr->w == width && hdr->key == cache_key() &&
         hdr->index_off + sizeof(CacheRec) * paths.size() <=
             uint64_t(st.st_size);
+    if (valid) {
+      // every blob must lie inside the mapping (a corrupt record would
+      // otherwise send load_item reading outside the mmap)
+      const auto* recs = reinterpret_cast<const CacheRec*>(
+          static_cast<const uint8_t*>(m) + hdr->index_off);
+      for (int32_t i = 0; valid && i < hdr->n; ++i) {
+        const CacheRec& r = recs[i];
+        uint64_t img_end = r.img_off + uint64_t(r.h) * r.w * 3;
+        valid = r.h > 0 && r.w > 0 && r.img_off <= hdr->index_off &&
+                img_end <= hdr->index_off;
+        if (valid && r.aux_off)
+          valid = r.aux_off + uint64_t(r.h) * r.w * sizeof(int32_t) <=
+                  hdr->index_off;
+      }
+    }
     if (!valid) {
       munmap(m, st.st_size);
       return false;

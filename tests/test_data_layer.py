@@ -465,6 +465,34 @@ def test_default_cache_path_distinguishes(seg_tree, tmp_path):
     assert len({a, b, c}) == 3 and a.startswith(str(tmp_path))
 
 
+def test_native_cache_rejects_corrupt_record(seg_tree, tmp_path):
+    """A record whose blob offset points outside the mapping must be
+    rejected at load (not segfault a worker) — the attach then rebuilds
+    the file and batches stay bit-exact."""
+    import struct
+
+    native = pytest.importorskip("cp2_tpu.native")
+    if not native.native_available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    img_dir, _ = seg_tree
+    files = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    kw = dict(batch_size=2, base_hw=(32, 32), threads=2, seed=1,
+              shuffle=True, drop_last=False)
+    live = native.NativePretrainLoader(files, **kw)
+    cache = str(tmp_path / "corrupt.rawc")
+    built = native.NativePretrainLoader(files, cache_path=cache, **kw)
+    assert built.cache_status == 1
+    # CacheHeader: magic[8] mode:u32 n,h,w:i32 key:u64 index_off:u64
+    with open(cache, "r+b") as f:
+        f.seek(32)
+        (index_off,) = struct.unpack("<Q", f.read(8))
+        f.seek(index_off)  # rec 0: img_off:u64 aux_off:u64 h,w:i32
+        f.write(struct.pack("<Q", 1 << 60))
+    rebuilt = native.NativePretrainLoader(files, cache_path=cache, **kw)
+    assert rebuilt.cache_status == 1  # rejected + rebuilt, not mapped as-is
+    _assert_batches_equal(_epoch_frames(live), _epoch_frames(rebuilt))
+
+
 def test_native_cache_with_sharding(seg_tree, tmp_path):
     """Cache reads are indexed by FILE index, so a sharded loader must see
     the same per-shard batches cached as live (any file can land on any
