@@ -352,6 +352,175 @@ def test_cp2_bn_training_trajectory_matches_reference():
                                    rtol=1e-4, atol=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# DenseCL-family dynamics: forward_densecl (builder.py:667-999) trains the
+# stage-4 backbone THROUGH the DenseCLNeck with similarity-matched local
+# positives and the second queue — a gradient path none of the regimes
+# above touch.  The neck weights are extracted from the reference's own
+# construction at t=0 (tests/_reference_harness.extract_densecl_neck), so
+# both frameworks start identical and must stay locked through N optimizer
+# steps, ending at the same backbone (q AND EMA'd k) and neck weights.
+# ---------------------------------------------------------------------------
+
+
+def _densecl_pieces():
+    from tests.test_reference_fidelity_variants import (
+        BOS_DENSE,
+        DIM as V_DIM,
+        HW_DENSE,
+        K as V_K,
+        SEED as V_SEED,
+        _make_batch as _v_batch,
+        _queue_np as _v_queue,
+    )
+
+    return BOS_DENSE, V_DIM, HW_DENSE, V_K, V_SEED, _v_batch, _v_queue
+
+
+def make_trainable_densecl_stub(dense_oihw, backbone_oihw, dense_stride,
+                                backbone_stride, dim):
+    """JAX twin of the torch DenseCL stub with a TRAINABLE backbone kernel
+    and our real DenseCLNeck.  The dense head is a constant: the reference's
+    ``dense_conv`` receives no gradient in forward_densecl (grad None →
+    torch SGD skips it entirely), so it must not be a decayed param here."""
+    from cp2_tpu.models.necks import DenseCLNeck
+
+    dense_hwio = jnp.asarray(dense_oihw.transpose(2, 3, 1, 0))
+    backbone_hwio = jnp.asarray(backbone_oihw.transpose(2, 3, 1, 0))
+
+    class Model(nn.Module):
+        def setup(self):
+            self.backbone_kernel = self.param(
+                "backbone_kernel", lambda rng: backbone_hwio
+            )
+            self.neck = DenseCLNeck(
+                in_channels=2048, hid_channels=2048, out_channels=dim
+            )
+
+        def _conv(self, img, kernel, stride):
+            return jax.lax.conv_general_dilated(
+                img, kernel, (stride, stride), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def __call__(self, img, *, train=True):
+            return self.dense(img, train=train)
+
+        def dense(self, img, *, train=True):
+            return self._conv(img, dense_hwio, dense_stride)
+
+        def backbone_feats(self, img, *, train=True):
+            return self._conv(img, self.backbone_kernel, backbone_stride)
+
+        def densecl_embed(self, img, *, train=True):
+            f = self.backbone_feats(img, train=train)
+            return self.neck(f, train=train), f
+
+        def init_all(self, img):
+            out = self.dense(img, train=False)
+            self.densecl_embed(img, train=False)
+            return out
+
+    return Model()
+
+
+@pytest.mark.slow
+def test_densecl_training_trajectory_matches_reference():
+    from tests._reference_harness import extract_densecl_neck
+
+    BOS, V_DIM, HW_D, V_K, V_SEED, _v_batch, _v_queue = _densecl_pieces()
+    n_steps = 6
+    batches = [_v_batch(HW_D, seed=200 + i) for i in range(n_steps)]
+
+    # --- reference: build, snapshot the neck at t=0, then train -----------
+    builder = import_reference_builder()
+    torch.manual_seed(V_SEED)
+    ref_model = build_reference_model(
+        builder, dim=V_DIM, stride=HW_D // 4, seed=V_SEED,
+        queue_np=_v_queue(5), queue2_np=_v_queue(6), backbone_stride=BOS,
+        pretrain_type=builder.PretrainType["DENSECL"],
+        lmbd_cp2_dense_loss=0.5, dense_logits_temp=0.2,
+    )
+    neck0 = extract_densecl_neck(ref_model.encoder_q.neck)
+    opt = torch.optim.SGD(
+        [p for p in ref_model.parameters() if p.requires_grad],
+        lr=LR, momentum=0.9, weight_decay=1e-4,
+    )
+    ref_losses = []
+    for i, b in enumerate(batches):
+        t = {k: torch.from_numpy(np.ascontiguousarray(
+                v.transpose(0, 3, 1, 2)) if v.ndim == 4 else v.copy())
+             for k, v in b.items()}
+        loss = ref_model(
+            img_a=t["img_a"], img_b=t["img_b"], bg0=t["bg0"], bg1=t["bg1"],
+            visualize=False, step=i, new_epoch=False,
+            pixel_ids_a=t["pixel_ids_a"], pixel_ids_b=t["pixel_ids_b"],
+            region_ids_a=t["region_ids_a"], region_ids_b=t["region_ids_b"],
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+    ref_wq = ref_model.encoder_q.backbone.conv.weight.detach().numpy().copy()
+    ref_wk = ref_model.encoder_k.backbone.conv.weight.detach().numpy().copy()
+    ref_neck_q = extract_densecl_neck(ref_model.encoder_q.neck)
+    ref_neck_k = extract_densecl_neck(ref_model.encoder_k.neck)
+
+    # --- ours: identical t=0 weights, N jitted full steps ------------------
+    hp = SSLHyperParams.for_variant(
+        PretrainType.DENSECL, dim=V_DIM, queue_len=V_K
+    )
+    model = make_trainable_densecl_stub(
+        stub_conv_weights(V_SEED, V_DIM, HW_D // 4),
+        stub_conv_weights(V_SEED + 1, 2048, BOS),
+        HW_D // 4, BOS, V_DIM,
+    )
+    tx = make_optimizer("sgd", LR)
+    sample = jnp.zeros((4, HW_D, HW_D, 3), jnp.float32)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    params = jax.device_get(state.params)
+    params["neck"] = neck0
+    state = state.replace(
+        params=params,
+        ema_params=jax.tree_util.tree_map(np.copy, params),
+        queue=jnp.asarray(_v_queue(5)),
+        queue2=jnp.asarray(_v_queue(6)),
+    )
+    step = jax.jit(
+        make_pretrain_step(model, tx, hp, HW_D // 4, BOS, metrics_level=1)
+    )
+    our_losses = []
+    for i, b in enumerate(batches):
+        jb = {k: jnp.asarray(v.astype(np.int32)) if v.ndim == 3
+              else jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step(state, jb,
+                              jax.random.fold_in(jax.random.PRNGKey(1), i))
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
+    our_wq = np.asarray(state.params["backbone_kernel"]).transpose(3, 2, 0, 1)
+    our_wk = np.asarray(
+        state.ema_params["backbone_kernel"]
+    ).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(our_wq, ref_wq, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(our_wk, ref_wk, rtol=2e-3, atol=1e-6)
+    # the neck (projectors+predictors) must track too — both the trained
+    # query copy and the EMA'd key copy
+    for ref_neck, ours_neck in (
+        (ref_neck_q, jax.device_get(state.params["neck"])),
+        (ref_neck_k, jax.device_get(state.ema_params["neck"])),
+    ):
+        ref_leaves, treedef = jax.tree_util.tree_flatten(ref_neck)
+        our_leaves = treedef.flatten_up_to(ours_neck)
+        for r, o in zip(ref_leaves, our_leaves):
+            np.testing.assert_allclose(o, r, rtol=2e-3, atol=1e-6)
+    # training actually moved things
+    assert not np.allclose(ref_wq, stub_conv_weights(V_SEED + 1, 2048, BOS))
+
+
 @pytest.mark.slow
 def test_proposed_weighted_training_trajectory_matches_reference():
     """PROPOSED + PIXEL_REGION_ID correspondence weights (3/2/0.5): the
