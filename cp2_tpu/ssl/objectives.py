@@ -380,14 +380,21 @@ def byol_objective(
 # DenseCL / PROPOSED_V2
 # ---------------------------------------------------------------------------
 
-def densecl_key_forward(model, ema_params, ema_batch_stats, batch, hp):
-    """Key projections for one or both images (symmetric loss)."""
+def densecl_key_forward(model, ema_params, ema_batch_stats, batch, hp,
+                        ema_params_2=None):
+    """Key projections for one or both images (symmetric loss).
+
+    ``ema_params_2``: the reference updates the momentum encoder inside
+    ``get_key_features`` (builder.py:723-726), so its symmetric mode runs
+    direction 2 through a SECOND EMA application — pass those params here
+    (the train step computes them)."""
     imgs = ["img_b"] + (["img_a"] if hp.use_symmetrical_loss else [])
+    params_per_img = [ema_params, ema_params_2 or ema_params]
     outs = []
     stats = ema_batch_stats
-    for key in imgs:
+    for key, p in zip(imgs, params_per_img):
         (proj, embd), mutated = model.apply(
-            {"params": ema_params, "batch_stats": stats},
+            {"params": p, "batch_stats": stats},
             batch[key],
             train=True,
             mutable=["batch_stats"],

@@ -115,8 +115,17 @@ def make_pretrain_step(
                 )
 
         elif pt in (PretrainType.DENSECL, PretrainType.PROPOSED_V2):
+            # the reference's momentum update lives INSIDE get_key_features
+            # (builder.py:723-726), so the symmetric mode applies the EMA
+            # TWICE per step and the second direction's keys come from the
+            # twice-updated encoder (builder.py:944-948)
+            ema_params_1, ema_params_2 = state.ema_params, None
+            if hp.use_symmetrical_loss:
+                state = state.ema_update(hp.momentum)
+                ema_params_2 = state.ema_params
             key_out, key_mut = obj.densecl_key_forward(
-                model, state.ema_params, state.ema_batch_stats, batch, hp
+                model, ema_params_1, state.ema_batch_stats, batch, hp,
+                ema_params_2=ema_params_2,
             )
 
             def loss_fn(params):

@@ -521,6 +521,272 @@ def test_densecl_training_trajectory_matches_reference():
     assert not np.allclose(ref_wq, stub_conv_weights(V_SEED + 1, 2048, BOS))
 
 
+def _torch_trajectory_steps(model, batches, *, with_ids):
+    """Shared torch-side loop: SGD(momentum 0.9, wd 1e-4) over the
+    reference model's trainable params, per-step losses out."""
+    opt = torch.optim.SGD(
+        [p for p in model.parameters() if p.requires_grad],
+        lr=LR, momentum=0.9, weight_decay=1e-4,
+    )
+    losses = []
+    for i, b in enumerate(batches):
+        t = {k: torch.from_numpy(np.ascontiguousarray(
+                v.transpose(0, 3, 1, 2)) if v.ndim == 4 else v.copy())
+             for k, v in b.items()}
+        kwargs = dict(
+            img_a=t["img_a"], img_b=t["img_b"], bg0=t["bg0"], bg1=t["bg1"],
+            visualize=False, step=i, new_epoch=False,
+        )
+        if with_ids:
+            kwargs.update(
+                pixel_ids_a=t["pixel_ids_a"], pixel_ids_b=t["pixel_ids_b"],
+                region_ids_a=t["region_ids_a"], region_ids_b=t["region_ids_b"],
+            )
+        loss = model(**kwargs)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses
+
+
+def _jax_trajectory_steps(model, hp, batches, hw, bos, inject):
+    """Shared JAX-side loop: init, inject t=0 head weights, run N jitted
+    full steps. Returns (losses, final_state)."""
+    tx = make_optimizer("sgd", LR)
+    sample = jnp.zeros((4, hw, hw, 3), jnp.float32)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    params = jax.device_get(state.params)
+    params.update(inject)
+    from tests.test_reference_fidelity_variants import _queue_np as _v_queue
+
+    state = state.replace(
+        params=params,
+        ema_params=jax.tree_util.tree_map(np.copy, params),
+        queue=jnp.asarray(_v_queue(5)),
+        queue2=jnp.asarray(_v_queue(6)),
+    )
+    step = jax.jit(make_pretrain_step(model, tx, hp, hw // 4, bos,
+                                      metrics_level=1))
+    losses = []
+    for i, b in enumerate(batches):
+        jb = {k: jnp.asarray(v.astype(np.int32)) if v.ndim == 3
+              else jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step(state, jb,
+                              jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+def _assert_trees_close(ref_tree, ours_tree, *, rtol=2e-3, atol=1e-6):
+    ref_leaves, treedef = jax.tree_util.tree_flatten(ref_tree)
+    for r, o in zip(ref_leaves, treedef.flatten_up_to(ours_tree)):
+        np.testing.assert_allclose(o, r, rtol=rtol, atol=atol)
+
+
+def make_trainable_global_stub(dense_oihw, backbone_oihw, dense_stride,
+                               backbone_stride, dim, byol):
+    """MoCo/BYOL twin: trainable backbone + our GlobalProjector/MLP heads
+    (BN-bearing for BYOL). Dense head constant, as in the DenseCL stub."""
+    from cp2_tpu.models.layers import MLP
+    from cp2_tpu.models.necks import GlobalProjector
+
+    dense_hwio = jnp.asarray(dense_oihw.transpose(2, 3, 1, 0))
+    backbone_hwio = jnp.asarray(backbone_oihw.transpose(2, 3, 1, 0))
+
+    class Model(nn.Module):
+        def setup(self):
+            self.backbone_kernel = self.param(
+                "backbone_kernel", lambda rng: backbone_hwio
+            )
+            self.projector = GlobalProjector(hidden=2048, out=dim,
+                                             use_bn=byol)
+            self.predictor = MLP(hidden=2048, out=dim, use_bn=byol)
+
+        def _conv(self, img, kernel, stride):
+            return jax.lax.conv_general_dilated(
+                img, kernel, (stride, stride), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def __call__(self, img, *, train=True):
+            return self.dense(img, train=train)
+
+        def dense(self, img, *, train=True):
+            return self._conv(img, dense_hwio, dense_stride)
+
+        def backbone_feats(self, img, *, train=True):
+            return self._conv(img, self.backbone_kernel, backbone_stride)
+
+        def global_embed(self, img, *, train=True):
+            return self.projector(self.backbone_feats(img, train=train),
+                                  train=train)
+
+        def predict(self, z, *, train=True):
+            return self.predictor(z, train=train)
+
+        def init_all(self, img):
+            out = self.dense(img, train=False)
+            self.predict(self.global_embed(img, train=False), train=False)
+            return out
+
+    return Model()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["MOCO", "BYOL"])
+def test_global_variant_training_trajectory_matches_reference(variant):
+    """MoCo/BYOL dynamics: the flattened-projector gradient path (and for
+    BYOL the train-mode-BN MLP heads + symmetric regression, no queue).
+    With DENSECL below, every forward family now has a trajectory pin."""
+    from tests._reference_harness import extract_projector_mlp
+    from tests.test_reference_fidelity_variants import (
+        BOS_GLOBAL,
+        DIM as V_DIM,
+        HW_GLOBAL,
+        K as V_K,
+        SEED as V_SEED,
+        _make_batch as _v_batch,
+        _queue_np as _v_queue,
+    )
+
+    batches = [_v_batch(HW_GLOBAL, seed=300 + i, with_ids=False)
+               for i in range(N_STEPS)]
+
+    builder = import_reference_builder()
+    torch.manual_seed(V_SEED)
+    ref_model = build_reference_model(
+        builder, dim=V_DIM, stride=HW_GLOBAL // 4, seed=V_SEED,
+        queue_np=_v_queue(5), queue2_np=_v_queue(6),
+        backbone_stride=BOS_GLOBAL,
+        pretrain_type=builder.PretrainType[variant],
+        # the reference DRIVER sets m=0.996 for the global family
+        # (main.py:391-400); MODEL's own default is the dense-family 0.999
+        m=0.996,
+    )
+    if variant == "BYOL":
+        # Reference construction quirk (PARITY deviation #10): ONE
+        # BatchNorm1d instance is built (builder.py:411-415) and placed in
+        # BOTH the projector and the predictor Sequentials (:416-428), so
+        # their gamma/beta are tied and receive summed gradients. The
+        # rebuild gives each head its own BN; prove the tie exists, then
+        # untie the torch copy so the trajectory pins everything else.
+        import copy
+
+        assert ref_model.encoder_q.projector[1] is ref_model.predictor[1]
+        ref_model.predictor[1] = copy.deepcopy(ref_model.predictor[1])
+    s = HW_GLOBAL // BOS_GLOBAL
+    inject = {
+        "projector": {"mlp": extract_projector_mlp(
+            ref_model.encoder_q.projector, chw=(2048, s, s))},
+        "predictor": extract_projector_mlp(ref_model.predictor),
+    }
+    ref_losses = _torch_trajectory_steps(ref_model, batches, with_ids=False)
+    ref_wq = ref_model.encoder_q.backbone.conv.weight.detach().numpy().copy()
+    ref_wk = ref_model.encoder_k.backbone.conv.weight.detach().numpy().copy()
+
+    hp = SSLHyperParams.for_variant(PretrainType[variant], dim=V_DIM,
+                                    queue_len=V_K)
+    model = make_trainable_global_stub(
+        stub_conv_weights(V_SEED, V_DIM, HW_GLOBAL // 4),
+        stub_conv_weights(V_SEED + 1, 2048, BOS_GLOBAL),
+        HW_GLOBAL // 4, BOS_GLOBAL, V_DIM, byol=variant == "BYOL",
+    )
+    our_losses, state = _jax_trajectory_steps(
+        model, hp, batches, HW_GLOBAL, BOS_GLOBAL, inject
+    )
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
+    our_wq = np.asarray(state.params["backbone_kernel"]).transpose(3, 2, 0, 1)
+    our_wk = np.asarray(
+        state.ema_params["backbone_kernel"]).transpose(3, 2, 0, 1)
+    # atol 5e-6: near-zero kernel entries accumulate ~1e-6 of f32 noise
+    # over 6 steps (weights are N(0, 0.05) — 5e-6 is 1e-4 of scale)
+    np.testing.assert_allclose(our_wq, ref_wq, rtol=2e-3, atol=5e-6)
+    np.testing.assert_allclose(our_wk, ref_wk, rtol=2e-3, atol=5e-6)
+    # trained projector (q) and its EMA'd key copy must track
+    _assert_trees_close(
+        {"mlp": extract_projector_mlp(ref_model.encoder_q.projector,
+                                      chw=(2048, s, s))},
+        jax.device_get(state.params["projector"]), atol=1e-5,
+    )
+    _assert_trees_close(
+        {"mlp": extract_projector_mlp(ref_model.encoder_k.projector,
+                                      chw=(2048, s, s))},
+        jax.device_get(state.ema_params["projector"]), atol=1e-5,
+    )
+    if variant == "BYOL":
+        # the predictor trains on the query side only (no EMA copy in the
+        # reference — it sits outside encoder_q/k)
+        _assert_trees_close(
+            extract_projector_mlp(ref_model.predictor),
+            jax.device_get(state.params["predictor"]), atol=1e-5,
+        )
+    # MoCo's predictor is constructed but unused (builder.py:1001-1077):
+    # torch leaves it untouched (grad None -> SGD skips the param) while
+    # optax decays zero-grad params, so it is deliberately NOT compared.
+
+
+@pytest.mark.slow
+def test_proposed_v2_symmetric_training_trajectory_matches_reference():
+    """PROPOSED_V2 + use_symmetrical_loss alternates which key set feeds
+    which queue BY STEP PARITY (builder.py:944-972) — behavior only a
+    multi-step run exercises. Pins losses, weights, AND both final queue
+    payloads/pointer across 6 steps (3 of each parity)."""
+    from tests._reference_harness import extract_densecl_neck
+    from tests.test_reference_fidelity_variants import _queue_np as _v_queue
+
+    BOS, V_DIM, HW_D, V_K, V_SEED, _v_batch, _ = _densecl_pieces()
+    batches = [_v_batch(HW_D, seed=400 + i) for i in range(N_STEPS)]
+
+    builder = import_reference_builder()
+    torch.manual_seed(V_SEED)
+    ref_model = build_reference_model(
+        builder, dim=V_DIM, stride=HW_D // 4, seed=V_SEED,
+        queue_np=_v_queue(5), queue2_np=_v_queue(6), backbone_stride=BOS,
+        pretrain_type=builder.PretrainType["PROPOSED_V2"],
+        use_symmetrical_loss=True,
+        lmbd_cp2_dense_loss=0.5, dense_logits_temp=0.2,
+    )
+    neck0 = extract_densecl_neck(ref_model.encoder_q.neck)
+    ref_losses = _torch_trajectory_steps(ref_model, batches, with_ids=True)
+    ref_wq = ref_model.encoder_q.backbone.conv.weight.detach().numpy().copy()
+    ref_wk = ref_model.encoder_k.backbone.conv.weight.detach().numpy().copy()
+
+    hp = SSLHyperParams.for_variant(
+        PretrainType.PROPOSED_V2, dim=V_DIM, queue_len=V_K,
+        use_symmetrical_loss=True,
+    )
+    model = make_trainable_densecl_stub(
+        stub_conv_weights(V_SEED, V_DIM, HW_D // 4),
+        stub_conv_weights(V_SEED + 1, 2048, BOS),
+        HW_D // 4, BOS, V_DIM,
+    )
+    our_losses, state = _jax_trajectory_steps(
+        model, hp, batches, HW_D, BOS, {"neck": neck0}
+    )
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
+    our_wq = np.asarray(state.params["backbone_kernel"]).transpose(3, 2, 0, 1)
+    our_wk = np.asarray(
+        state.ema_params["backbone_kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(our_wq, ref_wq, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(our_wk, ref_wk, rtol=2e-3, atol=1e-6)
+    # the parity-alternating queue updates must leave BOTH queues equal
+    np.testing.assert_allclose(
+        np.asarray(state.queue),
+        ref_model.queue.detach().numpy().T, rtol=1e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.queue2),
+        ref_model.queue2.detach().numpy().T, rtol=1e-3, atol=1e-5,
+    )
+    assert int(state.queue_ptr) == int(ref_model.queue_ptr.item()) % V_K
+
+
 @pytest.mark.slow
 def test_proposed_weighted_training_trajectory_matches_reference():
     """PROPOSED + PIXEL_REGION_ID correspondence weights (3/2/0.5): the
