@@ -111,3 +111,30 @@ def test_show_result_palette_overlay(tmp_path):
     assert tuple(out[0, 0]) == (50, 50, 50)        # 100*0.5 + 0*0.5
     assert tuple(out[3, 0]) == (150, 50, 50)       # 100*0.5 + 200*0.5
     assert (tmp_path / "ov.png").exists()
+
+
+def test_mirror_consistency_loss_matches_torch_reference_quirk():
+    """The reference feeds PROBABILITIES into nn.CrossEntropyLoss
+    (mirror_network.py:49-52) — torch log-softmaxes the input again, so
+    the effective loss is -mean(softmax(t/T) . log_softmax(softmax(s/T))).
+    Pin our literal reproduction against torch's actual CE on 4-D logits."""
+    torch = pytest.importorskip("torch")
+
+    from cp2_tpu.train.mirror_task import mirror_consistency_loss
+
+    r = np.random.RandomState(11)
+    s = r.randn(3, 5, 4, 6).astype(np.float32)  # NCHW logits
+    t = r.randn(3, 5, 4, 6).astype(np.float32)
+    temp = 2.0
+
+    sm = torch.nn.Softmax(dim=1)
+    ref = torch.nn.CrossEntropyLoss()(
+        sm(torch.from_numpy(s) / temp), sm(torch.from_numpy(t) / temp)
+    )
+
+    ours = mirror_consistency_loss(
+        jnp.asarray(s.transpose(0, 2, 3, 1)),  # our layout is NHWC
+        jnp.asarray(t.transpose(0, 2, 3, 1)),
+        temp,
+    )
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
