@@ -194,13 +194,23 @@ def main():
         and os.environ.get("BENCH_E2E", "1") == "1"
     ):
         e2e_steps = int(os.environ.get("BENCH_E2E_STEPS", "6"))
-        e2e_ips = _e2e_native_loader_ips(jitted, state, batch, base,
-                                         steps=e2e_steps)
+        # the jitted step donates its state argument, so each e2e phase must
+        # hand the live state to the next one (the original buffers are gone
+        # after the phase's first call); a phase failure must not lose the
+        # device-only headline either, hence the per-phase guard.
+        try:
+            e2e_ips, state = _e2e_native_loader_ips(
+                jitted, state, batch, base, steps=e2e_steps)
+        except Exception as e:
+            print(f"bench: e2e phase failed: {e!r}", file=sys.stderr)
         # same stream through the raw-frame cache (decode+resize amortized
         # to one pass; steady-state epochs are mmap reads)
-        e2e_cached_ips = _e2e_native_loader_ips(
-            jitted, state, batch, base, steps=e2e_steps, raw_cache=True,
-        )
+        try:
+            e2e_cached_ips, state = _e2e_native_loader_ips(
+                jitted, state, batch, base, steps=e2e_steps, raw_cache=True,
+            )
+        except Exception as e:
+            print(f"bench: e2e raw-cache phase failed: {e!r}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -246,7 +256,10 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
     """Drive the jitted step from the native JPEG decode pool (3 streams).
 
     ``raw_cache=True`` attaches the raw-frame cache (steady-state epochs are
-    mmap reads, not decodes); the one-time build happens before timing."""
+    mmap reads, not decodes); the one-time build happens before timing.
+
+    Returns ``(images_per_sec_per_chip, final_state)`` — the step donates its
+    state argument, so the caller must continue from the returned state."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -259,9 +272,9 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
         )
 
         if not native_available():
-            return None
+            return None, state
     except Exception:
-        return None
+        return None, state
     from PIL import Image
 
     data_dir = os.path.join("/tmp", f"cp2_bench_jpegs_{base}")
@@ -299,7 +312,12 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
             epoch += 1
 
     stream = epoch_stream()
-    state, metrics = jitted(state, next(stream), base_key)  # warm the path
+    # warm the path; with the raw cache, drain all of epoch 0 so the one-time
+    # build (decode + resample + write) finishes before timing — the timed
+    # steps then measure the steady state (mmap reads), not the build
+    warm_steps = (n_images + batch - 1) // batch if raw_cache else 1
+    for _ in range(warm_steps):
+        state, metrics = jitted(state, next(stream), base_key)
     jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -307,7 +325,7 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
     n_chips = max(jax.device_count(), 1)
-    return round(batch * steps / dt / n_chips, 2)
+    return round(batch * steps / dt / n_chips, 2), state
 
 
 if __name__ == "__main__":
