@@ -139,7 +139,13 @@ def get_masked_correlation_map(
 
 
 def _nan_stats(scores: jax.Array) -> dict:
-    """Per-sample NaN-masked mean and quartiles of a (B, X, Y) score tensor."""
+    """Per-sample NaN-masked mean and quartiles of a (B, X, Y) score tensor.
+
+    This is the reference formulation (correlation_mapping.py:11-53) kept as
+    the oracle for ``dense_loss_stats``'s cheaper single-sort rewrite
+    (tests/test_contrastive_metrics.py pins their equivalence); the train
+    path never calls it.
+    """
     average = jnp.nanmean(scores, axis=(1, 2))
     flat = scores.reshape(scores.shape[0], -1)
     quartiles = jnp.nanquantile(flat, jnp.array([0.25, 0.5, 0.75]), axis=1)
@@ -149,22 +155,80 @@ def _nan_stats(scores: jax.Array) -> dict:
     }
 
 
+def _segment_quartiles(
+    sorted_vals: jax.Array, start: jax.Array, count: jax.Array
+) -> tuple:
+    """Exact linear-interpolation quartiles of a sorted row segment.
+
+    ``sorted_vals`` is (B, S) ascending; each row's segment is
+    [start, start+count).  Replicates ``jnp.nanquantile``'s linear method
+    (jax _quantile with squash_nans=True): index = q·(count−1), floor/ceil
+    clamp to [0, count−1], low·(1−frac) + high·frac; empty segments → NaN.
+    """
+    q = jnp.array([0.25, 0.5, 0.75], jnp.float32)  # (3,)
+    cnt = count.astype(jnp.float32)[:, None]  # (B, 1)
+    idx = q[None, :] * (cnt - 1.0)  # (B, 3)
+    low = jnp.floor(idx)
+    high = jnp.ceil(idx)
+    high_w = idx - low
+    low_w = 1.0 - high_w
+    upper = jnp.maximum(cnt - 1.0, 0.0)
+    low = jnp.clip(low, 0.0, upper).astype(jnp.int32)
+    high = jnp.clip(high, 0.0, upper).astype(jnp.int32)
+    base = start.astype(jnp.int32)[:, None]
+    gather_idx = jnp.concatenate([base + low, base + high], axis=1)  # (B, 6)
+    vals = jnp.take_along_axis(sorted_vals, gather_idx, axis=1)
+    low_v, high_v = vals[:, :3], vals[:, 3:]
+    out = low_v * low_w + high_v * high_w
+    out = jnp.where(count[:, None] > 0, out, jnp.float32(jnp.nan))
+    return (out[:, 0], out[:, 1], out[:, 2])
+
+
 def dense_loss_stats(logits_dense: jax.Array, labels_dense: jax.Array) -> dict:
     """Positive/negative similarity statistics for dense contrastive logits.
 
-    Mirrors reference ``calcuate_dense_loss_stats`` (correlation_mapping.py:11-53),
-    including its NaN-masking trick: positive scores are the logits where the
-    label is set (others NaN), negatives the complement.  Statistics use
-    nanmean / nanquantile with linear interpolation, matching torch.
+    Mirrors reference ``calcuate_dense_loss_stats`` (correlation_mapping.py:11-53):
+    positive scores are the logits where the label is set, negatives the
+    complement; statistics are NaN-masked means and quartiles with linear
+    interpolation, matching torch ``nanmean``/``nanquantile``.
+
+    TPU cost note: the reference formulation (two ``nanquantile`` calls on
+    NaN-masked copies) pays TWO bitonic sorts of the (B, X·Y) tensor plus two
+    ``nanmean`` passes.  Since the positives and negatives partition the same
+    tensor, one lexicographic sort with key (label, logit) orders the row as
+    [negatives ascending | positives ascending]; both groups' exact quartiles
+    are then 6 gathers per row, and the means are masked sums.  Identical
+    results (pinned by tests/test_contrastive_metrics.py and the grouped-
+    equivalence test), half the sort cost — this is what makes every-step
+    scalar logging affordable (see --scalar-freq in train/pretrain.py).
     """
     if logits_dense.shape != labels_dense.shape:
         raise ValueError(f"{logits_dense.shape=} != {labels_dense.shape=}")
-    labels = labels_dense.astype(bool)
-    logits = jax.lax.stop_gradient(logits_dense.astype(jnp.float32))
+    b = logits_dense.shape[0]
+    labels = labels_dense.reshape(b, -1).astype(bool)
+    logits = jax.lax.stop_gradient(
+        logits_dense.reshape(b, -1).astype(jnp.float32)
+    )
+    s = logits.shape[1]
+
+    lab_f = labels.astype(jnp.float32)
+    n_pos = jnp.sum(lab_f, axis=1)  # (B,)
+    n_neg = s - n_pos
+    sum_all = jnp.sum(logits, axis=1)
+    sum_pos = jnp.sum(logits * lab_f, axis=1)
     nan = jnp.float32(jnp.nan)
-    positive_scores = jnp.where(labels, logits, nan)
-    negative_scores = jnp.where(labels, nan, logits)
+    mean_pos = jnp.where(n_pos > 0, sum_pos / jnp.maximum(n_pos, 1.0), nan)
+    mean_neg = jnp.where(
+        n_neg > 0, (sum_all - sum_pos) / jnp.maximum(n_neg, 1.0), nan
+    )
+
+    # one sort, negatives-then-positives, each ascending
+    _, sorted_vals = jax.lax.sort(
+        (labels.astype(jnp.int32), logits), num_keys=2, dimension=1
+    )
+    neg_q = _segment_quartiles(sorted_vals, jnp.zeros_like(n_neg), n_neg)
+    pos_q = _segment_quartiles(sorted_vals, n_neg, n_pos)
     return {
-        "positive": _nan_stats(positive_scores),
-        "negative": _nan_stats(negative_scores),
+        "positive": {"quartiles": pos_q, "average": mean_pos},
+        "negative": {"quartiles": neg_q, "average": mean_neg},
     }

@@ -44,6 +44,42 @@ def test_dense_loss_stats_nan_masking():
     np.testing.assert_allclose(np.asarray(stats["negative"]["quartiles"][2]), [4.25])
 
 
+def test_dense_loss_stats_single_sort_matches_nanquantile_oracle():
+    """The grouped single-sort formulation equals the NaN-masked reference.
+
+    ``dense_loss_stats`` computes both groups' quartiles from ONE
+    lexicographic sort (TPU cost note in ops/correlation.py); the oracle is
+    the reference formulation — two ``nanquantile``/``nanmean`` passes over
+    NaN-masked copies (reference correlation_mapping.py:11-53).  Sweeps the
+    label density through the degenerate all-positive / all-negative rows.
+    """
+    from cp2_tpu.ops.correlation import _nan_stats
+
+    rng = np.random.RandomState(7)
+    for density in (0.0, 0.03, 0.5, 0.97, 1.0):
+        logits = jnp.asarray(rng.randn(5, 13, 17).astype(np.float32))
+        labels = jnp.asarray((rng.rand(5, 13, 17) < density).astype(np.float32))
+        got = dense_loss_stats(logits, labels)
+        nan = jnp.float32(jnp.nan)
+        lb = labels.astype(bool)
+        want = {
+            "positive": _nan_stats(jnp.where(lb, logits, nan)),
+            "negative": _nan_stats(jnp.where(lb, nan, logits)),
+        }
+        for side in ("positive", "negative"):
+            for i in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(got[side]["quartiles"][i]),
+                    np.asarray(want[side]["quartiles"][i]),
+                    atol=1e-6, err_msg=f"{density=} {side} q{i}",
+                )
+            np.testing.assert_allclose(
+                np.asarray(got[side]["average"]),
+                np.asarray(want[side]["average"]),
+                atol=1e-6, err_msg=f"{density=} {side} avg",
+            )
+
+
 def test_dense_loss_stats_matches_reference_shapes():
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(4, 196, 196).astype(np.float32))

@@ -60,9 +60,14 @@ def main():
     pt = PretrainType[args.variant]
     base = args.hw + 32
 
+    # reference config selection: CP2/PROPOSED* run the dilated-ResNet ASPP
+    # contrast config, MOCO/BYOL/DENSECL the standard-stride FCN-passthrough
+    # one (reference scripts/*.sh --config flags; scripts/ablation.sh here)
+    cfg_name = ("config_pretrain.py"
+                if args.variant in ("CP2", "PROPOSED", "PROPOSED_V2")
+                else "config_moco.py")
     cfg = Config.fromfile(
-        os.path.join(os.path.dirname(cp2_tpu.__file__), "configs",
-                     "config_pretrain.py")
+        os.path.join(os.path.dirname(cp2_tpu.__file__), "configs", cfg_name)
     )
     model_cfg = dict(cfg.model)
     hp = SSLHyperParams.for_variant(pt)
@@ -101,7 +106,7 @@ def main():
     except Exception:
         pass
 
-    for _ in range(args.warmup):
+    for _ in range(max(args.warmup, 1)):  # >=1: the timing loop below needs a compiled program
         state, metrics = jitted(state, raw, key)
     jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
