@@ -73,7 +73,8 @@ def main():
     hp = SSLHyperParams.for_variant(pt)
     model = SSLEncoder(
         model_cfg=model_cfg, pretrain_type=pt,
-        backbone_type=BackboneType.DEEPLABV3, dim=128, dtype=jnp.bfloat16,
+        backbone_type=BackboneType.DEEPLABV3, dim=hp.dim,  # 128 dense family / 256 MoCo-BYOL
+        dtype=jnp.bfloat16,
     )
     tx = make_optimizer("sgd", 1e-3)
     aug_cfg = AugmentConfig(out_hw=(args.hw, args.hw))
