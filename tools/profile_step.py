@@ -48,16 +48,24 @@ def build_step():
     hw = int(os.environ.get("BENCH_HW", "224"))
     base = hw + 32
 
+    # BENCH_VARIANT selects the SSL family (same config law as
+    # tools/bench_pretrain_variant.py): dense families use the dilated
+    # ASPP-contrast config, MOCO/BYOL/DENSECL the standard-stride one.
+    variant = os.environ.get("BENCH_VARIANT", "CP2")
+    pt = PretrainType[variant]
+    cfg_name = ("config_pretrain.py"
+                if variant in ("CP2", "PROPOSED", "PROPOSED_V2")
+                else "config_moco.py")
     cfg = Config.fromfile(
-        os.path.join(os.path.dirname(cp2_tpu.__file__), "configs", "config_pretrain.py")
+        os.path.join(os.path.dirname(cp2_tpu.__file__), "configs", cfg_name)
     )
     model_cfg = dict(cfg.model)
-    hp = SSLHyperParams.for_variant(PretrainType.CP2)
+    hp = SSLHyperParams.for_variant(pt)
     model = SSLEncoder(
         model_cfg=model_cfg,
-        pretrain_type=PretrainType.CP2,
+        pretrain_type=pt,
         backbone_type=BackboneType.DEEPLABV3,
-        dim=128,
+        dim=hp.dim,
         dtype=jnp.bfloat16,
     )
     tx = make_optimizer("sgd", 1e-3)
