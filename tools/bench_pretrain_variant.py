@@ -37,8 +37,8 @@ def main():
     from cp2_tpu.augment import AugmentConfig, pretrain_batch_augment
     from cp2_tpu.config import Config
     from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
-    from cp2_tpu.ssl.model import output_stride_of
     from cp2_tpu.ssl.train_step import (
+        dense_output_stride_of,
         backbone_output_stride_of,
         make_optimizer,
         make_pretrain_step,
@@ -51,6 +51,8 @@ def main():
                     choices=[t.name for t in PretrainType
                              if t.name in ("CP2", "PROPOSED", "PROPOSED_V2",
                                            "DENSECL", "MOCO", "BYOL")])
+    ap.add_argument("--backbone", default="DEEPLABV3",
+                    choices=[b.name for b in BackboneType])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--hw", type=int, default=224)
     ap.add_argument("--steps", type=int, default=30)
@@ -58,6 +60,16 @@ def main():
     args = ap.parse_args()
 
     pt = PretrainType[args.variant]
+    bt = BackboneType[args.backbone]
+    if bt != BackboneType.DEEPLABV3 and args.variant not in (
+        "CP2", "PROPOSED", "PROPOSED_V2"
+    ):
+        # Reference parity: MoCo/BYOL/DenseCL assume encoder.backbone(...)[3]
+        # + a flat/conv projector sized for the segmentor's ResNet; the
+        # reference crashes on UNET_* there (builder.py:1015-1016 with :96-101
+        # conv projectors), so the ablation backbones are CP2-family-only.
+        ap.error(f"--backbone {args.backbone} supports only the CP2/PROPOSED "
+                 f"dense family, not {args.variant}")
     base = args.hw + 32
 
     # reference config selection: CP2/PROPOSED* run the dilated-ResNet ASPP
@@ -73,15 +85,15 @@ def main():
     hp = SSLHyperParams.for_variant(pt)
     model = SSLEncoder(
         model_cfg=model_cfg, pretrain_type=pt,
-        backbone_type=BackboneType.DEEPLABV3, dim=hp.dim,  # 128 dense family / 256 MoCo-BYOL
+        backbone_type=bt, dim=hp.dim,  # 128 dense family / 256 MoCo-BYOL
         dtype=jnp.bfloat16,
     )
     tx = make_optimizer("sgd", 1e-3)
     aug_cfg = AugmentConfig(out_hw=(args.hw, args.hw))
     step_fn = make_pretrain_step(
         model, tx, hp,
-        output_stride_of(model_cfg),
-        backbone_output_stride_of(model_cfg, BackboneType.DEEPLABV3),
+        dense_output_stride_of(model_cfg, bt, hp.unet_truncated_dec_blocks),
+        backbone_output_stride_of(model_cfg, bt, hp.unet_truncated_dec_blocks),
         metrics_level=0,
         augment_fn=lambda rng, raw: pretrain_batch_augment(rng, raw, aug_cfg),
     )
@@ -121,7 +133,7 @@ def main():
     if flops and peak:
         mfu = round(flops / dt / peak, 4)
     print(json.dumps({
-        "metric": f"{args.variant.lower()}_pretrain_images_per_sec_per_chip",
+        "metric": f"{args.variant.lower()}{'' if bt == BackboneType.DEEPLABV3 else '_' + bt.name.lower()}_pretrain_images_per_sec_per_chip",
         "value": round(args.batch / dt, 2),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt * 1e3, 2),
