@@ -102,6 +102,11 @@ class SSLEncoder(nn.Module):
         return self.encoder.extract_feat(img, train=train)[-1]
 
     def global_embed(self, img, *, train: bool = True):
+        if self.backbone_type != BackboneType.DEEPLABV3:
+            # parity: the reference's MoCo/BYOL forwards assume the
+            # segmentor's ResNet + flat projector and crash on UNET_*
+            # (builder.py:1015-1016 vs the conv projectors at :96-101)
+            raise NotImplementedError("global embedding requires DEEPLABV3")
         feats = self.encoder.extract_feat(img, train=train)
         return self.projector(feats[-1], train=train)
 
@@ -109,6 +114,8 @@ class SSLEncoder(nn.Module):
         return self.predictor(z, train=train)
 
     def densecl_embed(self, img, *, train: bool = True):
+        if self.backbone_type != BackboneType.DEEPLABV3:
+            raise NotImplementedError("DenseCL embedding requires DEEPLABV3")
         feats = self.encoder.extract_feat(img, train=train)
         return self.neck(feats[-1], train=train), feats[-1]
 

@@ -191,6 +191,23 @@ def test_hparam_validation_web():
     assert hp.queue_len == 100
 
 
+def test_unet_backbone_rejects_global_and_densecl_paths():
+    """Parity guard: the reference's MoCo/BYOL/DenseCL forwards assume the
+    segmentor backbone and crash on UNET_* (builder.py:1015-1016 feeding the
+    conv projectors of :96-101 flattened input) — here the invalid combination
+    fails loudly at init with a named error instead."""
+    for pt in (PretrainType.MOCO, PretrainType.DENSECL):
+        model = SSLEncoder(
+            model_cfg=TINY_MODEL,
+            pretrain_type=pt,
+            backbone_type=BackboneType.UNET_ENCODER_ONLY,
+            dim=DIM,
+        )
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        with pytest.raises(NotImplementedError):
+            model.init(jax.random.PRNGKey(0), x, method="init_all")
+
+
 @pytest.mark.slow
 def test_cp2_unet_truncated_backbone():
     """CP2 over the truncated-U-Net backbone (OS=8, reference builder.py:76-111)."""
