@@ -153,6 +153,39 @@ def get_args(argv=None):
     return args
 
 
+def hparams_from_args(args, dataset_size: int):
+    """CLI flags → validated SSLHyperParams (reference main.py:390-433).
+
+    Factored out of ``main`` so the script-rot guard
+    (tests/test_scripts_dryrun.py) exercises the exact wiring the
+    training run uses, including the assert web.
+    """
+    from cp2_tpu.ssl import SSLHyperParams
+
+    return SSLHyperParams.for_variant(
+        args.pretrain_type,
+        dataset_size=dataset_size,
+        cap_queue=args.cap_queue,
+        backbone_type=args.backbone_type,
+        mapping_type=args.mapping_type,
+        negative_type=args.negative_type,
+        negative_scale=args.negative_scale,
+        include_background=args.include_background,
+        lmbd_cp2_dense_loss=args.lmbd_cp2_dense_loss,
+        lmbd_pixel_corr_weight=args.lmbd_pixel_corr_weight,
+        lmbd_region_corr_weight=args.lmbd_region_corr_weight,
+        lmbd_not_corr_weight=args.lmbd_not_corr_weight,
+        lmbd_coordinate=args.lmbd_coordinate,
+        dense_logits_temp=args.dense_logits_temp,
+        instance_logits_temp=args.instance_logits_temp,
+        pixel_ids_stride=args.pixel_ids_stride,
+        unet_truncated_dec_blocks=args.unet_truncated_dec_blocks,
+        use_predictor=args.use_predictor,
+        use_avgpool_global=args.use_avgpool_global,
+        use_symmetrical_loss=args.use_symmetrical_loss,
+    )
+
+
 def main(args):
     # Multi-host bootstrap FIRST — before anything touches a JAX backend
     # (reference: dist.init_process_group before model build, main.py:172-178).
@@ -176,7 +209,7 @@ def main(args):
     from cp2_tpu.config import Config
     from cp2_tpu.data import HostDataLoader, PretrainDataSource, get_pretrain_files
     from cp2_tpu.parallel import create_mesh, shard_batch, shard_pytree
-    from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
+    from cp2_tpu.ssl import SSLEncoder, create_pretrain_state
     from cp2_tpu.ssl.model import output_stride_of
     from cp2_tpu.ssl.train_step import (
         backbone_output_stride_of,
@@ -210,28 +243,7 @@ def main(args):
     files = get_pretrain_files(args.data_dirs, args.directory_type, "train")
     logger.info(f"dataset size: {len(files)}")
 
-    hp = SSLHyperParams.for_variant(
-        args.pretrain_type,
-        dataset_size=len(files),
-        cap_queue=args.cap_queue,
-        backbone_type=args.backbone_type,
-        mapping_type=args.mapping_type,
-        negative_type=args.negative_type,
-        negative_scale=args.negative_scale,
-        include_background=args.include_background,
-        lmbd_cp2_dense_loss=args.lmbd_cp2_dense_loss,
-        lmbd_pixel_corr_weight=args.lmbd_pixel_corr_weight,
-        lmbd_region_corr_weight=args.lmbd_region_corr_weight,
-        lmbd_not_corr_weight=args.lmbd_not_corr_weight,
-        lmbd_coordinate=args.lmbd_coordinate,
-        dense_logits_temp=args.dense_logits_temp,
-        instance_logits_temp=args.instance_logits_temp,
-        pixel_ids_stride=args.pixel_ids_stride,
-        unet_truncated_dec_blocks=args.unet_truncated_dec_blocks,
-        use_predictor=args.use_predictor,
-        use_avgpool_global=args.use_avgpool_global,
-        use_symmetrical_loss=args.use_symmetrical_loss,
-    )
+    hp = hparams_from_args(args, dataset_size=len(files))
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = SSLEncoder(

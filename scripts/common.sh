@@ -30,6 +30,19 @@ pretrain() { python -m cp2_tpu.train.pretrain --log_dir "$LOG_DIR" "$@"; }
 finetune() { python -m cp2_tpu.train.finetune --log_dir "$LOG_DIR" "$@"; }
 mirror()   { python -m cp2_tpu.train.mirror_pretrain --log_dir "$LOG_DIR" "$@"; }
 
+if [ -n "${CP2_SCRIPT_DRYRUN:-}" ]; then
+  # Flag-rot guard mode (tests/test_scripts_dryrun.py): echo every CLI
+  # invocation instead of running it, so the test can feed each flag list
+  # through the real argparse + hparam-validation web. The reference's own
+  # scripts rotted this way — its lemon.sh passes flags its main.py no
+  # longer accepts (--lmbd_corr_weight, mapping 'PIXEL_REGION').
+  preflight() { :; }
+  preflight_full() { :; }
+  pretrain() { printf 'PRETRAIN\t--log_dir %s %s\n' "$LOG_DIR" "$*"; }
+  finetune() { printf 'FINETUNE\t--log_dir %s %s\n' "$LOG_DIR" "$*"; }
+  mirror()   { printf 'MIRROR\t--log_dir %s %s\n' "$LOG_DIR" "$*"; }
+fi
+
 finetune_sweep() {
   # ratio x seed matrix (reference sweep pattern: ratios 0.3/0.6/1, seeds 0/1/2)
   local tag="$1"; shift
