@@ -39,6 +39,7 @@ from cp2_tpu.ops.losses import (
     l2_normalize,
     moco_logits,
     negative_reshape,
+    row_quantiles_linear,
     topk_accuracy,
 )
 from cp2_tpu.ssl.hparams import SSLHyperParams
@@ -572,7 +573,7 @@ def densecl_objective(
 # ---------------------------------------------------------------------------
 
 def _instance_stat_metrics(l_pos, l_neg):
-    q = jnp.quantile(l_neg, jnp.array([0.25, 0.5, 0.75]), axis=1)
+    q = row_quantiles_linear(l_neg, (0.25, 0.5, 0.75))
     return {
         "step/instance_average_positive_scores": l_pos.mean(),
         "step/instance_average_negative_scores": l_neg.mean(),

@@ -96,3 +96,34 @@ def test_intersect_and_union_matches_numpy(num_classes):
     np.testing.assert_array_equal(np.asarray(ap), want_ap)
     np.testing.assert_array_equal(np.asarray(al), want_al)
     np.testing.assert_array_equal(np.asarray(au), want_ap + want_al - want_ai)
+
+
+def test_topk_accuracy_matches_stable_argsort():
+    """The sort-free rank form must reproduce stable-argsort top-k
+    membership exactly — including ties with the label's score on both
+    sides of its column index (the InfoNCE label is always column 0, but
+    the op is general)."""
+    from cp2_tpu.ops.losses import topk_accuracy
+
+    r = np.random.RandomState(7)
+    # quantized values force many exact ties
+    logits = r.randint(0, 9, size=(64, 37)).astype(np.float32) / 8.0
+    labels = r.randint(0, 37, size=(64,))
+    got = topk_accuracy(jnp.asarray(logits), jnp.asarray(labels), ks=(1, 3, 5))
+    order = np.argsort(-logits, axis=1, kind="stable")
+    for g, k in zip(got, (1, 3, 5)):
+        want = 100.0 * np.mean(
+            (order[:, :k] == labels[:, None]).any(axis=1)
+        )
+        np.testing.assert_allclose(float(g), want, rtol=0, atol=1e-5)
+
+
+def test_row_quantiles_linear_matches_jnp_quantile():
+    from cp2_tpu.ops.losses import row_quantiles_linear
+
+    r = np.random.RandomState(3)
+    for n, k in ((4, 11), (3, 65536), (2, 2), (5, 1)):
+        x = r.randn(n, k).astype(np.float32)
+        got = row_quantiles_linear(jnp.asarray(x), (0.25, 0.5, 0.75))
+        want = np.quantile(x, [0.25, 0.5, 0.75], axis=1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
