@@ -222,9 +222,13 @@ def dense_loss_stats(logits_dense: jax.Array, labels_dense: jax.Array) -> dict:
         n_neg > 0, (sum_all - sum_pos) / jnp.maximum(n_neg, 1.0), nan
     )
 
-    # one sort, negatives-then-positives, each ascending
+    # one sort, negatives-then-positives, each ascending; is_stable=False
+    # because equal (label, logit) pairs are interchangeable for segment
+    # quartiles and the TPU stable-sort lowering adds an s32 iota operand
+    # (a third array through the whole sort)
     _, sorted_vals = jax.lax.sort(
-        (labels.astype(jnp.int32), logits), num_keys=2, dimension=1
+        (labels.astype(jnp.int32), logits), num_keys=2, dimension=1,
+        is_stable=False,
     )
     neg_q = _segment_quartiles(sorted_vals, jnp.zeros_like(n_neg), n_neg)
     pos_q = _segment_quartiles(sorted_vals, n_neg, n_pos)

@@ -158,7 +158,10 @@ def row_quantiles_linear(x: jax.Array, qs=(0.25, 0.5, 0.75)) -> jax.Array:
     (sort.29, 5.9% of the metrics-on pretrain step in the r3 profile).
     Returns shape ``(len(qs), N)``.
     """
-    s = jax.lax.sort(x, dimension=1)
+    # is_stable=False: stability is unobservable for a payload-free value
+    # sort, and the TPU lowering of a stable sort drags an s32 iota
+    # tiebreaker through the whole sort (+50-100% traffic).
+    s = jax.lax.sort(x, dimension=1, is_stable=False)
     k = x.shape[1]
     rows = []
     for q in qs:
