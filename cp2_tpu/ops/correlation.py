@@ -62,7 +62,9 @@ def masked_iou(
     masks = jnp.concatenate(
         [zeros, mask_a.astype(jnp.float32), mask_b.astype(jnp.float32)], axis=1
     )
-    vals = jnp.sort(ids * masks, axis=1)  # zeros (masked) sort to the front
+    # zeros (masked) sort to the front; unstable — run-length counting is
+    # permutation-insensitive and TPU stable sorts drag an iota operand
+    vals = jax.lax.sort(ids * masks, dimension=1, is_stable=False)
 
     # Run-length boundaries on the sorted values.  Position i >= 1 starts a
     # new run iff vals[i] != vals[i-1]; the run has a duplicate iff the next

@@ -141,8 +141,27 @@ def negative_reshape(
         shift = jax.lax.stop_gradient(negative_median).reshape(-1, 1, 1)
         return jnp.where(is_neg, squash(logits_dense - shift), logits_dense)
     if negative_type == "HARD":
-        negs = jnp.where(is_neg, logits_dense, jnp.nan)
-        q75 = jnp.nanquantile(negs, 0.75)
+        # global 75th percentile of the negatives, computed as a segment
+        # quantile after one negatives-first unstable sort — same linear
+        # law as jnp.nanquantile(where(is_neg, x, nan), 0.75) without the
+        # NaN squashing or the stable-sort iota operand (this runs in the
+        # TRAIN step for NegativeType.HARD)
+        flat = logits_dense.reshape(-1).astype(jnp.float32)
+        neg = is_neg.reshape(-1)
+        _, svals = jax.lax.sort(
+            ((~neg).astype(jnp.int32), flat), num_keys=2, dimension=0,
+            is_stable=False,
+        )
+        n = jnp.sum(neg)
+        pos = 0.75 * (n.astype(jnp.float32) - 1.0)
+        low = jnp.clip(jnp.floor(pos), 0.0, None)
+        frac = pos - low
+        lo_i = low.astype(jnp.int32)
+        hi_i = jnp.clip(jnp.ceil(pos), 0.0, None).astype(jnp.int32)
+        lo_v = jax.lax.dynamic_index_in_dim(svals, lo_i, keepdims=False)
+        hi_v = jax.lax.dynamic_index_in_dim(svals, hi_i, keepdims=False)
+        q75 = jnp.where(n > 0, lo_v * (1.0 - frac) + hi_v * frac,
+                        jnp.float32(jnp.nan))
         hard = is_neg & (logits_dense > q75)
         return jnp.where(hard, logits_dense * 1.5, logits_dense)
     raise NotImplementedError(f"negative_type={negative_type!r}")

@@ -140,9 +140,14 @@ def lovasz_softmax_loss(
     def class_loss(c):
         fg = ((labels_flat == c) & (valid > 0)).astype(jnp.float32)
         errors = jnp.abs(fg - probs[:, c]) * valid
-        order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        fg_sorted = fg[order]
+        # key-value sort instead of argsort + two P-sized gathers; the
+        # Lovász sum is invariant to tie order within equal-error blocks
+        # (the tied block contributes err·(J[end]−J[start−1])), matching
+        # torch.sort's unspecified tie behavior in the reference
+        neg_err_sorted, fg_sorted = jax.lax.sort(
+            (-errors, fg), num_keys=1, dimension=0, is_stable=False
+        )
+        errors_sorted = -neg_err_sorted
         grad = _lovasz_grad(fg_sorted)
         loss_c = jnp.sum(errors_sorted * grad)
         present = fg.sum() > 0
@@ -174,7 +179,7 @@ def ohem_weights(
     safe_labels = jnp.where(valid > 0, labels, 0)
     conf = _pick_label_channel(probs, safe_labels)
     conf = jnp.where(valid > 0, conf, jnp.inf)
-    flat = jnp.sort(conf.reshape(-1))
+    flat = jax.lax.sort(conf.reshape(-1), dimension=0, is_stable=False)
     k = jnp.minimum(min_kept, flat.shape[0]) - 1
     kth = flat[jnp.maximum(k, 0)]
     eff_thresh = kth if thresh is None else jnp.maximum(kth, thresh)
@@ -182,13 +187,25 @@ def ohem_weights(
 
 
 def seg_accuracy(logits, labels, *, topk=(1,), ignore_index: Optional[int] = 255):
-    """Pixel top-k accuracy in percent (mmseg accuracy.py)."""
+    """Pixel top-k accuracy in percent (mmseg accuracy.py).
+
+    Sort-free stable-rank query (see ops/losses.py::topk_accuracy): the
+    label's descending rank is #strictly-greater + #equal-at-lower-channel,
+    identical to stable argsort membership without the per-pixel
+    (num_classes) sort + gather. Ignored pixels (label outside the channel
+    range) yield an arbitrary rank, zeroed by ``valid`` exactly as the
+    argsort form's never-matching comparison was.
+    """
     valid = _valid_mask(labels, ignore_index)
-    order = jnp.argsort(-logits, axis=-1)
+    cols = jnp.arange(logits.shape[-1])
+    is_label = cols == labels[..., None]
+    score = jnp.sum(jnp.where(is_label, logits, 0), axis=-1, keepdims=True)
+    rank = jnp.sum(
+        (logits > score) | ((logits == score) & (cols < labels[..., None])),
+        axis=-1,
+    )
     out = []
     for k in topk:
-        hit = jnp.any(
-            order[..., :k] == labels[..., None], axis=-1
-        ).astype(jnp.float32)
+        hit = (rank < k).astype(jnp.float32)
         out.append(100.0 * jnp.sum(hit * valid) / jnp.maximum(valid.sum(), 1.0))
     return out[0] if len(out) == 1 else out

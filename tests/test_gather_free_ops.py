@@ -127,3 +127,21 @@ def test_row_quantiles_linear_matches_jnp_quantile():
         got = row_quantiles_linear(jnp.asarray(x), (0.25, 0.5, 0.75))
         want = np.quantile(x, [0.25, 0.5, 0.75], axis=1)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_hard_negative_quantile_matches_nanquantile():
+    """The segment-sort 75th percentile inside negative_reshape('HARD')
+    must match the nanquantile formulation it replaced."""
+    from cp2_tpu.ops.losses import negative_reshape
+
+    r = np.random.RandomState(11)
+    logits = r.randn(3, 14, 14).astype(np.float32)
+    labels = (r.rand(3, 14, 14) > 0.7).astype(np.float32)
+    got = negative_reshape(
+        jnp.asarray(logits), jnp.asarray(labels), "HARD", 1.0
+    )
+    negs = np.where(labels == 0, logits, np.nan)
+    q75 = np.nanquantile(negs, 0.75)
+    hard = (labels == 0) & (logits > q75)
+    want = np.where(hard, logits * 1.5, logits)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
