@@ -97,9 +97,13 @@ def test_script_flags_parse_and_validate(script, dryrun_env):
             # the exact wiring main() uses, including .validated()
             pretrain.hparams_from_args(args, dataset_size=1000)
         elif kind == "FINETUNE":
-            finetune.get_args(argv)
+            args = finetune.get_args(argv)
         else:
-            mirror_pretrain.get_args(argv)
+            args = mirror_pretrain.get_args(argv)
+        # any repo-relative --config a script names must actually exist
+        cfg = getattr(args, "config", None)
+        if cfg and cfg.startswith(REPO):
+            assert os.path.exists(cfg), f"{script}: missing config {cfg}"
 
 
 def test_dryrun_covers_every_entry_kind(dryrun_env):
