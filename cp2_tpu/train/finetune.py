@@ -249,6 +249,16 @@ def main(args):
             f"loaded {len(report.get('loaded', []))} tensors from {path}; "
             f"dropped {report.get('dropped', [])}"
         )
+        if not report.get("loaded"):
+            # fail-loud upgrade over the reference, which load_state_dicts
+            # with strict=False and silently trains from random init when
+            # no key matches (segment_network.py:92) — e.g. a U-Net-backbone
+            # pretrain checkpoint fed to the DeepLabV3 finetune config
+            raise ValueError(
+                f"{args.pretrain_type.name} checkpoint at {path} contributed "
+                "ZERO tensors to the segmentor (incompatible backbone or "
+                "layout); refusing to silently train from random init"
+            )
 
     tx = optax.adam(args.learning_rate)
     tx = optax.chain(optax.add_decayed_weights(args.weight_decay), tx)

@@ -12,9 +12,19 @@ preflight
 # (builder.py:431-433; non-DEEPLABV3 backbones are CP2-only per :360-363).
 # The only runnable spelling of the script's intent — kept here — is CP2 +
 # UNET_ENCODER_ONLY + default CP2 mapping + the foreground range.
+BACKBONE="${BACKBONE:-UNET_ENCODER_ONLY}"
 pretrain --run_id cp2-lemon --data_dirs "$DATA_DIR" --lemon_data \
-  --pretrain_type CP2 --backbone_type UNET_ENCODER_ONLY \
+  --pretrain_type CP2 --backbone_type "$BACKBONE" \
   --pixel_ids_stride 1 --foreground_min 0.25 --foreground_max 0.5 \
   --epochs "${EPOCHS:-200}" -b "${BATCH:-32}" --cap_queue
-finetune_sweep cp2-lemon --img_dirs "$IMG_DIR" --mask_dirs "$MASK_DIR" \
-  --lemon_data --pretrain_type CP2 --pretrain_path "$LOG_DIR/cp2-lemon"
+if [ "$BACKBONE" = DEEPLABV3 ]; then
+  finetune_sweep cp2-lemon --img_dirs "$IMG_DIR" --mask_dirs "$MASK_DIR" \
+    --lemon_data --pretrain_type CP2 --pretrain_path "$LOG_DIR/cp2-lemon"
+else
+  # The reference's lemon.sh stops after pretraining; a U-Net-backbone
+  # checkpoint cannot initialize the DeepLabV3 finetune segmentor (the
+  # reference would silently load zero tensors via strict=False —
+  # segment_network.py:92 — our finetune refuses instead). Run with
+  # BACKBONE=DEEPLABV3 to pretrain a finetunable encoder and sweep.
+  echo "skipping finetune sweep: $BACKBONE pretrain is not loadable into the DeepLabV3 finetune config"
+fi
