@@ -155,3 +155,59 @@ def test_finetune_lemon_nonsquare_fast_dev_run(lemon_tree, tmp_path):
     test_metrics = finetune.main(args)
     assert np.isfinite(test_metrics["test_loss"])
     assert 0.0 <= test_metrics["test_MulticlassJaccardIndex"] <= 1.0
+
+
+@pytest.mark.slow
+def test_finetune_refuses_zero_tensor_pretrain_load(polyp_tree, tmp_path):
+    """A U-Net-backbone pretrain checkpoint cannot initialize the
+    DeepLabV3 finetune segmentor; the reference silently trains from
+    random init there (strict=False, segment_network.py:92) — our CLI
+    must raise instead of proceeding."""
+    import jax
+    import jax.numpy as jnp
+
+    from cp2_tpu.checkpoint import save_checkpoint
+    from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
+    from cp2_tpu.ssl.train_step import make_optimizer
+    from cp2_tpu.train import finetune
+    from cp2_tpu.types import BackboneType, PretrainType
+
+    hp = SSLHyperParams.for_variant(
+        PretrainType.CP2, dim=8, queue_len=16,
+        backbone_type=BackboneType.UNET_ENCODER_ONLY,
+    )
+    model = SSLEncoder(
+        model_cfg=None, pretrain_type=PretrainType.CP2,
+        backbone_type=BackboneType.UNET_ENCODER_ONLY, dim=8,
+    )
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, make_optimizer("sgd", 0.1), hp,
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    ckpt_dir = str(tmp_path / "unet_pretrain")
+    save_checkpoint(
+        ckpt_dir, 1, jax.device_get(state),
+        meta={"epoch": 1, "pretrain_type": "CP2",
+              "backbone_type": "UNET_ENCODER_ONLY"},
+    )
+
+    img_dir, mask_dir = polyp_tree
+    cfg_path = tmp_path / "tiny_finetune.py"
+    cfg_path.write_text(TINY_CFG)
+    args = finetune.get_args([
+        "--run_id", "refuse",
+        "--log_dir", str(tmp_path / "logs"),
+        "--img_dirs", img_dir,
+        "--mask_dirs", mask_dir,
+        "--pretrain_type", "CP2",
+        "--pretrain_path", ckpt_dir,
+        "--config", str(cfg_path),
+        "--batch_size", "8",
+        "--img_height", "32", "--img_width", "32",
+        "--fast_dev_run",
+        "--visualize_freq", "0",
+        "--no-bf16",
+    ])
+    with pytest.raises(ValueError, match="ZERO tensors"):
+        finetune.main(args)
