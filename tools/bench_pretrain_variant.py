@@ -90,11 +90,12 @@ def main():
     )
     tx = make_optimizer("sgd", 1e-3)
     aug_cfg = AugmentConfig(out_hw=(args.hw, args.hw))
+    metrics_level = int(os.environ.get("BENCH_METRICS_LEVEL", "0"))
     step_fn = make_pretrain_step(
         model, tx, hp,
         dense_output_stride_of(model_cfg, bt, hp.unet_truncated_dec_blocks),
         backbone_output_stride_of(model_cfg, bt, hp.unet_truncated_dec_blocks),
-        metrics_level=0,
+        metrics_level=metrics_level,
         augment_fn=lambda rng, raw: pretrain_batch_augment(rng, raw, aug_cfg),
     )
     sample = jnp.zeros((args.batch, args.hw, args.hw, 3), jnp.float32)
