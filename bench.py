@@ -27,12 +27,19 @@ TARGET_MULTIPLIER = 3.0
 
 
 def main():
+    t_start = time.perf_counter()
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    # persistent compilation cache: first run pays the compile, reruns don't
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    # persistent compilation cache: first run pays the compile, reruns don't.
+    # Repo-local by default: /tmp can be wiped between sessions, and a cold
+    # compile of the fused step takes ~7 min on a 1-core host — long enough
+    # to threaten an external time budget.
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -149,14 +156,27 @@ def main():
             state, losses = jax.lax.scan(body, state, raw_k)
             return state, {"loss": losses[-1]}
 
-    jitted = jax.jit(step_fn, donate_argnums=0)
+    # AOT: trace/lower ONCE and run the compiled executable directly.
+    # Tracing+lowering this fused step takes minutes of pure-Python work on
+    # a 1-core host, and jax.jit dispatch would not reuse the trace done for
+    # cost_analysis below — calling the compiled object avoids paying it
+    # twice (the XLA compile itself hits the persistent cache either way).
+    t_lower = time.perf_counter()
+    jitted = (
+        jax.jit(step_fn, donate_argnums=0)
+        .lower(state, raw, jax.random.PRNGKey(42))
+        .compile()
+    )
+    print(
+        f"bench: trace+lower+compile {time.perf_counter() - t_lower:.1f}s",
+        file=sys.stderr,
+    )
 
     # XLA's own FLOP estimate for the compiled step -> MFU against the
     # chip's bf16 peak (VERDICT r2: ground the perf claim in measurables)
     flops_per_call = None
     try:
-        cost = jitted.lower(state, raw, jax.random.PRNGKey(42)).compile(
-        ).cost_analysis()
+        cost = jitted.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else {}
         flops_per_call = float(cost.get("flops", 0.0)) or None
@@ -188,8 +208,20 @@ def main():
     # real JPEGs from disk — the number a user sees with this host CPU.
     # The device-only figure above excludes the input pipeline entirely.
     e2e_ips = e2e_cached_ips = None
+    # the e2e phases are optional color on the one mandatory JSON line; if a
+    # cold compile already burned most of an external time budget, skip them
+    # rather than risk the whole run being killed before it prints.
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "420"))
+    past_deadline = time.perf_counter() - t_start > deadline_s
+    if past_deadline:
+        print(
+            f"bench: skipping e2e phases ({time.perf_counter() - t_start:.0f}s "
+            f"elapsed > BENCH_DEADLINE_S={deadline_s:.0f})",
+            file=sys.stderr,
+        )
     if (
         not no_aug
+        and not past_deadline
         and scan_k == 1  # reuses the already-compiled single-step program
         and os.environ.get("BENCH_E2E", "1") == "1"
     ):
