@@ -50,6 +50,17 @@ class SSLEncoder(nn.Module):
 
     def setup(self):
         if self.backbone_type == BackboneType.DEEPLABV3:
+            head = (self.model_cfg or {}).get("decode_head", {})
+            contrast_dim = head.get("contrast_dim", 128)
+            if head.get("contrast", False) and contrast_dim != self.dim:
+                # the dense queue is (K, dim); a mismatched projector width
+                # would only surface later as an opaque einsum shape error
+                # (the reference hard-codes dim=128 in both places,
+                # main.py:404 + configs/config_pretrain.py contrast_dim)
+                raise ValueError(
+                    f"decode_head.contrast_dim={contrast_dim} must equal the "
+                    f"SSL embedding dim={self.dim} (queue width)"
+                )
             cfg = dict(self.model_cfg)
             cfg.pop("type", None)
             cfg.pop("dtype", None)

@@ -21,14 +21,21 @@ def queue_enqueue(
     """Insert ``keys`` (B, C) at the pointer with wraparound.
 
     Matches the reference's two-segment wrapped write
-    (builder.py:578-587) via modular scatter indices; when B > K the
-    last K keys win (the reference asserts this never happens — we keep
-    the same practical contract).
+    (builder.py:578-587) via modular scatter indices.  B > K is rejected
+    at trace time, like the reference's assert (builder.py:578): with
+    duplicate scatter indices ``.at[].set`` has unspecified write order
+    in XLA, so "last K keys win" cannot be relied on.
 
     Returns (new_queue, new_ptr).
     """
     k = queue.shape[0]
     batch = keys.shape[0]
+    if batch > k:
+        raise ValueError(
+            f"enqueue batch {batch} exceeds queue length {k}; shrink the "
+            "global batch or grow the queue (reference asserts the same, "
+            "builder.py:578)"
+        )
     idx = (ptr + jnp.arange(batch, dtype=ptr.dtype)) % k
     new_queue = queue.at[idx].set(keys.astype(queue.dtype))
     new_ptr = (ptr + batch) % k

@@ -149,7 +149,15 @@ def get_args(argv=None):
         args.img_height = 512
         args.img_width = 512
     if args.debug:
+        # reference --debug (main.py:47,724-729): a single-rank in-process
+        # smoke run at batch 8. The single-controller runtime is already
+        # in-process; additionally bound the run to a handful of steps so
+        # one invocation exercises the full loop — build → train steps →
+        # checkpoint — end to end and exits.
         args.batch_size = 8
+        args.epochs = min(args.epochs, 1)
+        args.max_steps = min(args.max_steps, 3)
+        args.scalar_freq = 1
     return args
 
 

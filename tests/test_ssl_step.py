@@ -296,3 +296,14 @@ def test_queue_wraparound():
     np.testing.assert_allclose(np.asarray(new_q[7]), np.full(4, 2.0))
     np.testing.assert_allclose(np.asarray(new_q[0]), np.full(4, 3.0))
     np.testing.assert_allclose(np.asarray(new_q[1]), np.full(4, 4.0))
+
+
+def test_queue_rejects_batch_larger_than_queue():
+    """B > K is a trace-time error (reference asserts it, builder.py:578)."""
+    from cp2_tpu.ssl.queue import queue_enqueue
+
+    queue = jnp.zeros((4, 4))
+    ptr = jnp.asarray(0, jnp.int32)
+    keys = jnp.ones((6, 4))
+    with pytest.raises(ValueError, match="exceeds queue length"):
+        queue_enqueue(queue, ptr, keys)
