@@ -283,15 +283,24 @@ def build_reference_model(builder, *, dim: int, stride: int, seed: int,
                           queue_np: np.ndarray, queue2_np=None,
                           backbone_stride: int = 32, rank: int = 1,
                           stub_bn: bool = False,
+                          segmentor_factory=None,
                           **model_kwargs):
     """Construct reference ``MODEL`` around the stub encoder with a pinned
     queue.  ``queue_np`` is (K, dim) row-major (the rebuild's layout); the
     reference stores (dim, K).  ``rank=0`` enables the reference's wandb
-    metric paths (captured by the stub — see ``WANDB_LOGS``)."""
+    metric paths (captured by the stub — see ``WANDB_LOGS``).
+    ``segmentor_factory`` swaps the stub for a different
+    ``build_segmentor`` (e.g. the REAL tiny segmentor twin in
+    ``_real_model_harness``)."""
     import torch
 
-    sys.modules["mmseg.models"].build_segmentor = make_torch_stub_factory(
-        dim, stride, seed, backbone_stride=backbone_stride, with_bn=stub_bn
+    sys.modules["mmseg.models"].build_segmentor = (
+        segmentor_factory
+        if segmentor_factory is not None
+        else make_torch_stub_factory(
+            dim, stride, seed, backbone_stride=backbone_stride,
+            with_bn=stub_bn,
+        )
     )
     builder.build_segmentor = sys.modules["mmseg.models"].build_segmentor
     model = builder.MODEL(

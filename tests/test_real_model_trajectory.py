@@ -1,0 +1,299 @@
+"""FULL-model training-trajectory parity vs the reference (VERDICT r3 #1).
+
+The stub-encoder trajectory tests pin optimizer math, EMA order, and
+queue/loss dynamics; this file closes the remaining gap: the same proof
+through a REAL segmentor — a small dilated ResNet (BasicBlock, strides
+(1,2,2,1), dilations (1,1,1,2), contract_dilation) + ASPP head with the
+128-d-style contrast projector — i.e. the actual CP2 architecture family
+(reference configs/config_pretrain.py + mmseg_/models/backbones/
+resnet.py:308-688 + decode_heads/aspp_head.py:53-117), with deep BN
+stacks trained in batch-stat mode on both sides.
+
+The torch twin lives in ``tests/_real_model_harness.py`` and is driven by
+the reference's own ``builder.MODEL.forward_cp2`` + SGD; the JAX side is
+the rebuild's real ``cp2_tpu`` modules under the jitted pretrain step.
+Identical weights at t=0 (torch → flax extraction), identical data.
+
+This is the in-suite pin; ``tools/loss_curve_parity.py`` runs the same
+harness for O(100) steps and writes the curve overlay into BASELINE.md's
+Quality section.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from tests._real_model_harness import (
+    extract_segmentor_trees,
+    graft_by_paths,
+    make_real_segmentor_factory,
+)
+from tests._reference_harness import (
+    build_reference_model,
+    import_reference_builder,
+)
+from tests.test_reference_fidelity import DIM, K, _make_batch, _queue_np
+
+from cp2_tpu.ssl import SSLEncoder, SSLHyperParams, create_pretrain_state
+from cp2_tpu.ssl.model import output_stride_of
+from cp2_tpu.ssl.train_step import make_optimizer, make_pretrain_step
+from cp2_tpu.types import PretrainType
+
+HW = 64
+BATCH = 4
+LR = 0.05
+SEED = 21
+
+TORCH_KW = dict(
+    stage_blocks=(2, 2, 2, 2), stem_channels=8, base_channels=8,
+    strides=(1, 2, 2, 1), dilations=(1, 1, 1, 2), contract_dilation=True,
+    in_channels=64, channels=16, aspp_dilations=(1, 6, 12, 18),
+    contrast_dim=DIM,
+)
+
+FLAX_CFG = {
+    "backbone": dict(
+        type="ResNet", depth=18, stem_channels=8, base_channels=8,
+        strides=(1, 2, 2, 1), dilations=(1, 1, 1, 2),
+        contract_dilation=True, out_indices=(0, 1, 2, 3),
+        norm_cfg={"type": "BN"},
+    ),
+    "decode_head": dict(
+        type="ASPPHead", in_channels=64, in_index=3, channels=16,
+        dilations=(1, 6, 12, 18), contrast=True, contrast_dim=DIM,
+        num_classes=2, norm_cfg={"type": "BN"},
+    ),
+}
+
+
+def make_flax_model():
+    return SSLEncoder(model_cfg=FLAX_CFG, pretrain_type=PretrainType.CP2,
+                      dim=DIM)
+
+
+def run_reference_real(batches, *, lr=LR, momentum_ema=0.999,
+                       perturb: float = 0.0):
+    """Reference builder.MODEL.forward_cp2 around the REAL torch twin for
+    len(batches) SGD steps.  Returns losses, t=0 and final extractions.
+
+    ``perturb`` multiplies the stem kernel by (1 + perturb) BEFORE the
+    q→k state is captured — used to measure the reference's OWN
+    trajectory sensitivity to float-level noise (the chaos envelope a
+    cross-framework rebuild must be judged against)."""
+    builder = import_reference_builder()
+    model = build_reference_model(
+        builder, dim=DIM, stride=16, seed=SEED, queue_np=_queue_np(),
+        segmentor_factory=make_real_segmentor_factory(SEED, **TORCH_KW),
+        pretrain_type=builder.PretrainType.CP2,
+        mapping_type=builder.MappingType.CP2,
+        m=momentum_ema,
+    )
+    assert model.output_stride == 16 and model.backbone_output_stride == 16
+    if perturb:
+        with torch.no_grad():
+            model.encoder_q.backbone.conv1.conv.weight.mul_(1.0 + perturb)
+    params0, stats_q0 = extract_segmentor_trees(model.encoder_q)
+    _, stats_k0 = extract_segmentor_trees(model.encoder_k)
+    opt = torch.optim.SGD(
+        [p for p in model.parameters() if p.requires_grad],
+        lr=lr, momentum=0.9, weight_decay=1e-4,
+    )
+    losses, loss_parts = [], []
+    for i, b in enumerate(batches):
+        t = {k: torch.from_numpy(np.ascontiguousarray(
+                v.transpose(0, 3, 1, 2)) if v.ndim == 4 else v.copy())
+             for k, v in b.items()}
+        loss = model(
+            img_a=t["img_a"], img_b=t["img_b"], bg0=t["bg0"], bg1=t["bg1"],
+            visualize=False, step=i, new_epoch=False,
+            pixel_ids_a=t["pixel_ids_a"], pixel_ids_b=t["pixel_ids_b"],
+            region_ids_a=t["region_ids_a"], region_ids_b=t["region_ids_b"],
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+        loss_parts.append((float(model.loss_i.val), float(model.loss_d.val)))
+    final_q, final_stats_q = extract_segmentor_trees(model.encoder_q)
+    final_k, final_stats_k = extract_segmentor_trees(model.encoder_k)
+    return {
+        "losses": losses, "loss_parts": loss_parts,
+        "params0": params0, "stats_q0": stats_q0, "stats_k0": stats_k0,
+        "final_q": final_q, "final_k": final_k,
+        "final_stats_q": final_stats_q, "final_stats_k": final_stats_k,
+    }
+
+
+def run_ours_real(batches, ref0, *, lr=LR, momentum_ema=0.999):
+    """The rebuild's real SSLEncoder + jitted pretrain step from the torch
+    twin's exact t=0 state."""
+    hp = SSLHyperParams.for_variant(
+        PretrainType.CP2, dim=DIM, queue_len=K, momentum=momentum_ema,
+    )
+    model = make_flax_model()
+    tx = make_optimizer("sgd", lr)
+    sample = jnp.zeros((BATCH, HW, HW, 3), jnp.float32)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, tx, hp, sample,
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    params = {"encoder": graft_by_paths(
+        jax.device_get(state.params)["encoder"], ref0["params0"])}
+    state = state.replace(
+        params=params,
+        ema_params=jax.tree_util.tree_map(np.copy, params),
+        batch_stats={"encoder": graft_by_paths(
+            jax.device_get(state.batch_stats)["encoder"], ref0["stats_q0"])},
+        ema_batch_stats={"encoder": graft_by_paths(
+            jax.device_get(state.ema_batch_stats)["encoder"],
+            ref0["stats_k0"])},
+        opt_state=tx.init(params),
+        queue=jnp.asarray(_queue_np()),
+    )
+    os_ = output_stride_of(FLAX_CFG)
+    assert os_ == 16
+    step = jax.jit(make_pretrain_step(model, tx, hp, os_, os_,
+                                      metrics_level=1))
+    losses, loss_parts = [], []
+    for i, b in enumerate(batches):
+        jb = {k: jnp.asarray(v.astype(np.int32)) if v.ndim == 3
+              else jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step(state, jb,
+                              jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(metrics["loss"]))
+        loss_parts.append((float(metrics["train/loss_ins_step"]),
+                           float(metrics["train/loss_dense_step"])))
+    return {"losses": losses, "loss_parts": loss_parts, "state": state}
+
+
+def _flat(tree):
+    return {
+        jax.tree_util.keystr(p): np.asarray(leaf)
+        for p, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def _assert_tree_close(ours, ref, rtol, atol, what):
+    fo, fr = _flat(ours), _flat(ref)
+    assert set(fo) == set(fr)
+    for key in sorted(fr):
+        np.testing.assert_allclose(
+            fo[key], fr[key], rtol=rtol, atol=atol,
+            err_msg=f"{what} diverged at {key}",
+        )
+
+
+@pytest.mark.slow
+def test_real_model_forward_parity():
+    """Single-forward gate: the torch twin and the flax model compute the
+    same dense embeddings from the same weights (train-mode BN)."""
+    builder = import_reference_builder()
+    factory = make_real_segmentor_factory(SEED, **TORCH_KW)
+    seg = factory(None)
+    params0, stats0 = extract_segmentor_trees(seg)
+
+    r = np.random.RandomState(0)
+    img = r.rand(BATCH, HW, HW, 3).astype(np.float32)
+
+    seg.train()
+    with torch.no_grad():
+        ref_out = seg(torch.from_numpy(
+            np.ascontiguousarray(img.transpose(0, 3, 1, 2))))
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)
+
+    model = make_flax_model()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((BATCH, HW, HW, 3)), method="init_all")
+    variables = {
+        "params": {"encoder": graft_by_paths(
+            jax.device_get(variables["params"])["encoder"], params0)},
+        "batch_stats": {"encoder": graft_by_paths(
+            jax.device_get(variables["batch_stats"])["encoder"], stats0)},
+    }
+    our_out, _ = model.apply(variables, jnp.asarray(img), train=True,
+                             mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(our_out), ref_out,
+                               rtol=2e-4, atol=2e-5)
+
+
+def _max_rel_tree_dev(a, b) -> float:
+    """max over leaves of ||a-b||_inf / (||b||_inf + eps)."""
+    fa, fb = _flat(a), _flat(b)
+    assert set(fa) == set(fb)
+    return max(
+        float(np.max(np.abs(fa[k] - fb[k]))
+              / (np.max(np.abs(fb[k])) + 1e-12))
+        for k in fb
+    )
+
+
+@pytest.mark.slow
+def test_real_model_cp2_trajectory_matches_reference():
+    """8 full optimizer steps through the REAL architecture.
+
+    A deep BN-stacked contrastive step is CHAOTIC: the reference run
+    against itself with a single 1e-6 perturbation on one kernel diverges
+    to ~5e-3 relative loss deviation by step 8, so per-step closeness at
+    fixed rtol is unachievable for any cross-framework rebuild.  The
+    principled gate used here:
+
+    * steps 0-2 (before amplification bites): tight per-step pin on total
+      + instance/dense losses — proves the loss math and the first
+      optimizer/EMA/queue updates through the real architecture;
+    * full horizon: our deviation from the clean reference must stay
+      inside the reference's OWN chaos envelope (clean vs 1e-6-perturbed
+      torch) times a small constant, per step and on the final weight
+      trees — i.e. the rebuild is indistinguishable from the reference up
+      to the reference's own float sensitivity.
+    """
+    n_steps = 8
+    envelope_scale = 25.0
+    floor = 1e-4
+    batches = [_make_batch(seed=500 + i) for i in range(n_steps)]
+    ref = run_reference_real(batches)
+    pert = run_reference_real(batches, perturb=1e-6)
+    ours = run_ours_real(batches, ref)
+
+    ref_l = np.asarray(ref["losses"])
+    our_l = np.asarray(ours["losses"])
+    pert_l = np.asarray(pert["losses"])
+
+    # (1) tight early pin — cross-framework float noise only
+    np.testing.assert_allclose(our_l[:3], ref_l[:3], rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(ours["loss_parts"])[:3],
+                               np.asarray(ref["loss_parts"])[:3],
+                               rtol=5e-4, atol=1e-5)
+
+    # (2) chaos envelope, cummax-smoothed to bridge zero crossings
+    ours_dev = np.abs(our_l - ref_l) / np.abs(ref_l)
+    env = np.maximum.accumulate(np.abs(pert_l - ref_l) / np.abs(ref_l))
+    bound = np.maximum(env * envelope_scale, floor)
+    assert (ours_dev <= bound).all(), (
+        f"loss deviation {ours_dev} exceeds reference chaos envelope "
+        f"{bound} (raw envelope {env})"
+    )
+
+    # (3) final states inside the weight-space envelope
+    state = ours["state"]
+    for ours_tree, ref_tree, pert_tree, what in (
+        (jax.device_get(state.params)["encoder"], ref["final_q"],
+         pert["final_q"], "query params"),
+        (jax.device_get(state.ema_params)["encoder"], ref["final_k"],
+         pert["final_k"], "EMA key params"),
+    ):
+        dev = _max_rel_tree_dev(ours_tree, ref_tree)
+        env_w = _max_rel_tree_dev(pert_tree, ref_tree)
+        assert dev <= max(env_w * envelope_scale, floor), (
+            f"{what}: rebuild dev {dev:.2e} vs torch self-envelope "
+            f"{env_w:.2e}"
+        )
+    # sanity: the envelope itself is non-trivial (training moved weights,
+    # and the perturbation actually propagated)
+    w0 = _flat(ref["params0"])
+    wq = _flat(ref["final_q"])
+    assert any(not np.allclose(w0[k], wq[k]) for k in w0)
+    assert _max_rel_tree_dev(pert["final_q"], ref["final_q"]) > 0
