@@ -87,6 +87,9 @@ def main():
         output_stride_of(model_cfg),
         backbone_output_stride_of(model_cfg, BackboneType.DEEPLABV3),
         metrics_level=int(os.environ.get("BENCH_METRICS_LEVEL", "0")),
+        # the pretrain CLI always carries the cheap epoch-aggregate family
+        # (exact reference epoch means); flip on to measure that step
+        epoch_scalars=os.environ.get("BENCH_EPOCH_SCALARS", "0") == "1",
         augment_fn=None if no_aug
         else (lambda rng, raw: pretrain_batch_augment(rng, raw, aug_cfg)),
     )
@@ -236,13 +239,26 @@ def main():
         except Exception as e:
             print(f"bench: e2e phase failed: {e!r}", file=sys.stderr)
         # same stream through the raw-frame cache (decode+resize amortized
-        # to one pass; steady-state epochs are mmap reads)
-        try:
-            e2e_cached_ips, state = _e2e_native_loader_ips(
-                jitted, state, batch, base, steps=e2e_steps, raw_cache=True,
+        # to one pass; steady-state epochs are mmap reads).  Re-check the
+        # deadline first: the cache phase starts by draining a full epoch to
+        # build the cache, so a long first phase must not push the whole run
+        # past the external budget the guard protects.
+        if time.perf_counter() - t_start > deadline_s:
+            print(
+                "bench: skipping raw-cache e2e phase "
+                f"({time.perf_counter() - t_start:.0f}s elapsed > "
+                f"BENCH_DEADLINE_S={deadline_s:.0f})",
+                file=sys.stderr,
             )
-        except Exception as e:
-            print(f"bench: e2e raw-cache phase failed: {e!r}", file=sys.stderr)
+        else:
+            try:
+                e2e_cached_ips, state = _e2e_native_loader_ips(
+                    jitted, state, batch, base, steps=e2e_steps,
+                    raw_cache=True,
+                )
+            except Exception as e:
+                print(f"bench: e2e raw-cache phase failed: {e!r}",
+                      file=sys.stderr)
 
     print(
         json.dumps(
@@ -336,26 +352,38 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
         epoch = 0
         while True:
             for fg, b0, b1 in zip(*(ld.epoch_iterator(epoch) for ld in loaders)):
-                yield {
-                    "fg": jnp.asarray(fg["image"]),
-                    "bg0": jnp.asarray(b0["image"]),
-                    "bg1": jnp.asarray(b1["image"]),
-                }
+                yield {"fg": fg["image"], "bg0": b0["image"],
+                       "bg1": b1["image"]}
             epoch += 1
 
-    stream = epoch_stream()
-    # warm the path; with the raw cache, drain all of epoch 0 so the one-time
-    # build (decode + resample + write) finishes before timing — the timed
-    # steps then measure the steady state (mmap reads), not the build
-    warm_steps = (n_images + batch - 1) // batch if raw_cache else 1
-    for _ in range(warm_steps):
-        state, metrics = jitted(state, next(stream), base_key)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = jitted(state, next(stream), base_key)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    from cp2_tpu.data.prefetch import DevicePrefetcher
+
+    # background H2D staging, exactly as the pretrain CLI runs it
+    # (--prefetch_depth): decode, transfer of batch i+1, and step i overlap
+    stream = DevicePrefetcher(
+        epoch_stream(),
+        lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+        depth=2,
+    )
+    try:
+        # warm the path; with the raw cache, drain all of epoch 0 so the
+        # one-time build (decode + resample + write) finishes before timing —
+        # the timed steps then measure the steady state (mmap reads), not the
+        # build.  NOTE: ``jitted`` here is an AOT-compiled executable — it
+        # accepts EXACTLY the lowered shapes/dtypes (no re-trace); the
+        # loaders are constructed with the same ``batch``/``base`` so every
+        # batch matches, and a drift would raise loudly rather than re-trace.
+        warm_steps = (n_images + batch - 1) // batch if raw_cache else 1
+        for _ in range(warm_steps):
+            state, metrics = jitted(state, next(stream), base_key)
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = jitted(state, next(stream), base_key)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+    finally:
+        stream.close()
     n_chips = max(jax.device_count(), 1)
     return round(batch * steps / dt / n_chips, 2), state
 

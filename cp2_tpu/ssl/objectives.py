@@ -78,8 +78,15 @@ def cp2_objective(
     *,
     rngs: Optional[dict] = None,
     metrics_level: int = 1,
+    epoch_scalars: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Dense + instance contrastive loss on composited crops.
+
+    ``epoch_scalars`` computes ONLY the cheap ``train/*`` family even at
+    metrics_level 0 — the scalars the reference averages into its epoch
+    aggregates every step (builder.py:1608-1664); the expensive quartile
+    ``step/*`` stats stay gated on metrics_level (the reference does NOT
+    epoch-aggregate those).
 
     ``key_feats`` is the key encoder's dense output on the composited
     img_b (already stop-gradient).  Reference: builder.py:1124-1606.
@@ -210,7 +217,7 @@ def cp2_objective(
     loss_dense = cp2_dense_loss(logits_dense, labels_dense, hp.dense_logits_temp)
     loss = loss_instance + loss_dense * hp.lmbd_cp2_dense_loss
 
-    if metrics_level >= 1:
+    if metrics_level >= 1 or epoch_scalars:
         acc1, acc5 = topk_accuracy(logits_moco, labels_moco, ks=(1, 5))
         scaled = logits_dense / hp.dense_logits_temp
         top_pair = jnp.argmax(scaled.reshape(n, -1), axis=1)
@@ -227,6 +234,7 @@ def cp2_objective(
                 "train/cross_image_variance_target_step": jnp.std(k_pos, axis=0).mean(),
             }
         )
+    if metrics_level >= 1:
         if region_corr is not None:
             metrics["step/average_iou"] = region_corr["iou"].mean()
             metrics["step/average_masked_iou"] = region_corr["iou_masked"].mean()
@@ -290,7 +298,7 @@ def moco_key_forward(model, ema_params, ema_batch_stats, batch):
 
 def moco_objective(
     model, params, batch_stats, key_embed, batch, queue, hp,
-    *, rngs=None, metrics_level: int = 1,
+    *, rngs=None, metrics_level: int = 1, epoch_scalars: bool = False,
 ):
     """Image-level InfoNCE against the queue (builder.py:1001-1077)."""
     q, mutated = model.apply(
@@ -309,12 +317,13 @@ def moco_objective(
     loss = -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
 
     metrics = {}
-    if metrics_level >= 1:
+    if metrics_level >= 1 or epoch_scalars:
         acc1, acc5 = topk_accuracy(logits, labels, ks=(1, 5))
         metrics = {
             "train/loss_step": loss,
             "train/acc_ins_step": acc1,
         }
+    if metrics_level >= 1:
         metrics.update(_instance_stat_metrics(l_pos, l_neg))
     return loss, {"mutated": mutated, "enqueue": {"queue": k}, "metrics": metrics}
 
@@ -341,7 +350,7 @@ def byol_key_forward(model, ema_params, ema_batch_stats, batch):
 
 def byol_objective(
     model, params, batch_stats, key_embeds, batch, queue, hp,
-    *, rngs=None, metrics_level: int = 1,
+    *, rngs=None, metrics_level: int = 1, epoch_scalars: bool = False,
 ):
     """Symmetric predictor regression to the EMA targets (builder.py:1079-1122)."""
     k_a, k_b = key_embeds
@@ -369,7 +378,11 @@ def byol_objective(
     q_b, stats2 = online(batch["img_b"], stats1)
 
     loss = jnp.mean(byol_loss(q_a, k_b) + byol_loss(q_b, k_a))
-    metrics = {"train/loss_step": loss} if metrics_level >= 1 else {}
+    metrics = (
+        {"train/loss_step": loss}
+        if (metrics_level >= 1 or epoch_scalars)
+        else {}
+    )
     return loss, {
         "mutated": {"batch_stats": stats2},
         "enqueue": {},
@@ -437,7 +450,7 @@ def densecl_objective(
     model, params, batch_stats, key_outs, batch, queues, hp,
     backbone_output_stride: int,
     step: jax.Array,
-    *, rngs=None, metrics_level: int = 1,
+    *, rngs=None, metrics_level: int = 1, epoch_scalars: bool = False,
 ):
     """Global + dense InfoNCE with similarity/coordinate positive matching.
 
@@ -550,7 +563,7 @@ def densecl_objective(
     loss = (1.0 - hp.lmbd_cp2_dense_loss) * loss_global + hp.lmbd_cp2_dense_loss * loss_local
 
     metrics = {}
-    if metrics_level >= 1:
+    if metrics_level >= 1 or epoch_scalars:
         metrics = {
             "train/loss_step": loss,
             "train/loss_ins_step": loss_global,
@@ -558,6 +571,7 @@ def densecl_objective(
             "step/cross_image_variance_source_step": jnp.std(qg1, axis=0).mean(),
             "step/cross_image_variance_target_step": jnp.std(kg1, axis=0).mean(),
         }
+    if metrics_level >= 1:
         metrics.update(local_metrics)
         metrics.update(_instance_stat_metrics(l_pos1, l_neg1))
 

@@ -48,6 +48,42 @@ def dense_output_stride_of(model_cfg: dict, backbone_type: BackboneType,
                                      unet_truncated_dec_blocks)
 
 
+# Per-variant epoch-aggregate families (reference on_train_epoch_end,
+# builder.py:1608-1664): epoch name -> candidate step-metric sources.
+_EPOCH_SOURCES = {
+    "train/loss": ("train/loss_step",),
+    "train/acc_ins": ("train/acc_ins_step",),
+    "train/loss_ins": ("train/loss_ins_step",),
+    "train/loss_dense": ("train/loss_dense_step",),
+    "train/acc_seg": ("train/acc_seg_step",),
+    "train/cross_image_variance_source": (
+        "train/cross_image_variance_source_step",
+        "step/cross_image_variance_source_step",
+    ),
+    "train/cross_image_variance_target": (
+        "train/cross_image_variance_target_step",
+        "step/cross_image_variance_target_step",
+    ),
+}
+
+
+def epoch_scalar_names(pt: PretrainType) -> Tuple[str, ...]:
+    """The scalars the reference averages over EVERY step into its epoch
+    aggregates, per variant (builder.py:1608-1664)."""
+    names = ["train/loss"]
+    if pt in (PretrainType.MOCO, PretrainType.CP2, PretrainType.PROPOSED):
+        names.append("train/acc_ins")
+    if pt in (PretrainType.DENSECL, PretrainType.PROPOSED_V2,
+              PretrainType.CP2):
+        names += ["train/loss_ins", "train/loss_dense"]
+    if pt in (PretrainType.PROPOSED_V2, PretrainType.CP2):
+        names += ["train/cross_image_variance_source",
+                  "train/cross_image_variance_target"]
+    if pt == PretrainType.CP2:
+        names.append("train/acc_seg")
+    return tuple(names)
+
+
 def make_pretrain_step(
     model,
     tx: optax.GradientTransformation,
@@ -56,6 +92,7 @@ def make_pretrain_step(
     backbone_output_stride: int,
     *,
     metrics_level: int = 1,
+    epoch_scalars: bool = False,
     augment_fn: Callable | None = None,
 ) -> Callable[[PretrainState, Dict[str, jax.Array], jax.Array],
               Tuple[PretrainState, Dict[str, jax.Array]]]:
@@ -63,6 +100,15 @@ def make_pretrain_step(
 
     ``augment_fn(rng, batch) -> batch`` optionally runs the fused on-device
     augmentation inside the same XLA program as the model step.
+
+    ``epoch_scalars=True`` makes EVERY step (metrics_level 0 included)
+    also return ``metrics["_epoch_vec"]`` — the variant's epoch-aggregate
+    family packed into one vector in ``epoch_scalar_names(pt)`` order, so
+    the training loop can keep exact reference epoch means
+    (builder.py:1608-1664 averages every step) with a single on-device
+    add per step.  Only cheap scalars are involved (loss components,
+    accuracies, cross-image variance) — the quartile sorts stay gated on
+    metrics_level.
     """
     pt = hp.pretrain_type
 
@@ -90,6 +136,7 @@ def make_pretrain_step(
                     model, params, state.batch_stats, key_out, batch,
                     state.queue, hp, output_stride,
                     rngs=rngs, metrics_level=metrics_level,
+                    epoch_scalars=epoch_scalars,
                 )
 
         elif pt == PretrainType.MOCO:
@@ -101,6 +148,7 @@ def make_pretrain_step(
                 return obj.moco_objective(
                     model, params, state.batch_stats, key_out, batch,
                     state.queue, hp, rngs=rngs, metrics_level=metrics_level,
+                    epoch_scalars=epoch_scalars,
                 )
 
         elif pt == PretrainType.BYOL:
@@ -112,6 +160,7 @@ def make_pretrain_step(
                 return obj.byol_objective(
                     model, params, state.batch_stats, key_out, batch,
                     state.queue, hp, rngs=rngs, metrics_level=metrics_level,
+                    epoch_scalars=epoch_scalars,
                 )
 
         elif pt in (PretrainType.DENSECL, PretrainType.PROPOSED_V2):
@@ -133,6 +182,7 @@ def make_pretrain_step(
                     model, params, state.batch_stats, key_out, batch,
                     (state.queue, state.queue2), hp, backbone_output_stride,
                     state.step, rngs=rngs, metrics_level=metrics_level,
+                    epoch_scalars=epoch_scalars,
                 )
 
         else:
@@ -163,6 +213,18 @@ def make_pretrain_step(
         )
         metrics = dict(aux["metrics"])
         metrics["loss"] = loss
+        if epoch_scalars:
+            vec = []
+            for name in epoch_scalar_names(pt):
+                for src in _EPOCH_SOURCES[name]:
+                    if src in metrics:
+                        vec.append(metrics[src].astype(jnp.float32))
+                        break
+                else:
+                    raise KeyError(
+                        f"epoch scalar {name} has no source in step metrics"
+                    )
+            metrics["_epoch_vec"] = jnp.stack(vec)
         return new_state, metrics
 
     return step_fn

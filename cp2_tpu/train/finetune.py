@@ -50,6 +50,10 @@ def get_args(argv=None):
                              '(decode+SmallestMaxSize once, mmap after)')
     parser.add_argument('--fast_dev_run', action='store_true')
     parser.add_argument('--use_profiler', action='store_true')
+    parser.add_argument('--prefetch_depth', default=2, type=int,
+                        help='device-resident batches staged ahead by a '
+                             'background thread (overlaps H2D of batch i+1 '
+                             'with step i); 0 falls back to inline puts')
 
     parser.add_argument('--num_classes', type=int, default=2)
     parser.add_argument('--visualize_freq', type=int, default=10,
@@ -403,8 +407,18 @@ def main(args):
                 write_overlays(state, epoch)
             confusion = ConfusionState.create(args.num_classes)
             t0 = time.time()
-            for i, batch in enumerate(train_loader.epoch_iterator(epoch)):
-                batch = shard_batch(batch, mesh)
+            if args.prefetch_depth > 0:
+                from cp2_tpu.data.prefetch import DevicePrefetcher
+
+                staged = DevicePrefetcher(
+                    train_loader.epoch_iterator(epoch),
+                    lambda b: shard_batch(b, mesh),
+                    depth=args.prefetch_depth,
+                )
+            else:
+                staged = (shard_batch(b, mesh)
+                          for b in train_loader.epoch_iterator(epoch))
+            for i, batch in enumerate(staged):
                 if step_timer is not None:
                     step_timer.start()
                 state, confusion, m = jit_train(
@@ -414,6 +428,8 @@ def main(args):
                     step_timer.stop(probe=m["loss"])
                 step += 1
                 if args.fast_dev_run and i >= 1:
+                    if hasattr(staged, "close"):
+                        staged.close()
                     break
             train_metrics = {
                 k: float(v) for k, v in metrics_of(confusion, "train_").items()

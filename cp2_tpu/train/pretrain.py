@@ -123,6 +123,10 @@ def get_args(argv=None):
                              '(amortizes host per-call overhead; logging '
                              'steps still run singly). max_steps may '
                              'overshoot by up to K-1.')
+    parser.add_argument('--prefetch_depth', default=2, type=int,
+                        help='device-resident batches staged ahead by a '
+                             'background thread (overlaps H2D of batch i+1 '
+                             'with step i); 0 falls back to inline puts')
     parser.add_argument('--imagenet_checkpoint', default='', type=str,
                         help='local torchvision resnet50 checkpoint for ImageNet init')
     parser.add_argument('--bf16', action='store_true', default=True)
@@ -222,6 +226,7 @@ def main(args):
     from cp2_tpu.ssl.train_step import (
         backbone_output_stride_of,
         cosine_lr_schedule,
+        epoch_scalar_names,
         make_optimizer,
         make_pretrain_step,
     )
@@ -369,14 +374,20 @@ def main(args):
     # metrics step (full reference scalar families — quantiles etc., ~17%
     # slower) runs only on logging steps.  The reference computes metrics
     # every step; logged values are identical.
+    # exact reference epoch aggregates cost a measured 2.4% of the step
+    # (1083->1058 img/s on one v5e); --metrics_level 0 remains the full
+    # perf escape hatch and disables them like everything else
+    want_epoch_scalars = args.metrics_level > 0
     step_fn = make_pretrain_step(
         model, tx, hp, os_, bos,
-        metrics_level=0, augment_fn=augment_fn,
+        metrics_level=0, epoch_scalars=want_epoch_scalars,
+        augment_fn=augment_fn,
     )
     step_fn_metrics = (
         make_pretrain_step(
             model, tx, hp, os_, bos,
-            metrics_level=args.metrics_level, augment_fn=augment_fn,
+            metrics_level=args.metrics_level,
+            epoch_scalars=want_epoch_scalars, augment_fn=augment_fn,
         )
         if args.metrics_level > 0
         else step_fn
@@ -393,7 +404,8 @@ def main(args):
     step_fn_visual = (
         make_pretrain_step(
             model, tx, hp, os_, bos,
-            metrics_level=2, augment_fn=augment_fn,
+            metrics_level=2, epoch_scalars=want_epoch_scalars,
+            augment_fn=augment_fn,
         )
         if visuals_on
         else step_fn_metrics
@@ -433,9 +445,16 @@ def main(args):
         def scan_step(state, raw_k, key):
             def body(s, one_raw):
                 s, m = step_fn(s, one_raw, key)
-                return s, m["loss"]
-            state, losses = jax.lax.scan(body, state, raw_k)
-            return state, {"loss": losses[-1]}
+                ys = (m["loss"], m["_epoch_vec"]) if want_epoch_scalars \
+                    else (m["loss"],)
+                return s, ys
+            state, ys = jax.lax.scan(body, state, raw_k)
+            out = {"loss": ys[0][-1]}
+            if want_epoch_scalars:
+                # chunk SUM of the epoch family: the loop adds it into the
+                # epoch accumulator with the chunk length as the count
+                out["_epoch_vec"] = ys[1].sum(0)
+            return state, out
 
         jitted_scan = jax.jit(scan_step, donate_argnums=0)
 
@@ -474,7 +493,13 @@ def main(args):
         metrics_sink.log_images({"visuals": paths}, step=step)
 
     step = int(state.step)
-    epoch_meters: dict = {}
+    # exact epoch aggregates (reference on_train_epoch_end averages EVERY
+    # step, builder.py:1608-1664): each step returns its cheap epoch-family
+    # scalars packed into one vector; the loop keeps a device-side running
+    # sum — one async add per dispatch, no host syncs until epoch end
+    epoch_names = epoch_scalar_names(args.pretrain_type)
+    epoch_vec_sum = None
+    epoch_vec_count = 0
     with mesh:
         for epoch in range(start_epoch, args.epochs):
             batch_time = AverageMeter("Time", ":6.3f")
@@ -514,22 +539,50 @@ def main(args):
                         lambda *xs: jnp.stack(xs), *chunk
                     )
                     state, metrics = jitted_scan(state, raw_k, root_key)
+                    if want_epoch_scalars:
+                        # the scanned program returns the chunk SUM already
+                        accum_epoch(metrics["_epoch_vec"], len(chunk))
                     step += len(chunk)
                 else:
                     for one_raw in chunk:
                         state, metrics = jitted(state, one_raw, root_key)
+                        if want_epoch_scalars:
+                            accum_epoch(metrics["_epoch_vec"], 1)
                         step += 1
                 chunk.clear()
 
-            for i, (fg, bg0, bg1) in enumerate(iters):
-                if step > args.max_steps:
-                    break
-                raw = {"fg": fg["image"], "bg0": bg0["image"], "bg1": bg1["image"]}
+            def accum_epoch(vec, n):
+                """Add a (sum-over-n-steps) epoch-family vector; async."""
+                nonlocal epoch_vec_sum, epoch_vec_count
+                epoch_vec_sum = vec if epoch_vec_sum is None else (
+                    epoch_vec_sum + vec
+                )
+                epoch_vec_count += n
+
+            def _stage(item):
+                """Host batch -> device-resident sharded batch (runs on the
+                prefetch thread so H2D of batch i+1 overlaps step i)."""
+                fg, bg0, bg1 = item
+                raw = {"fg": fg["image"], "bg0": bg0["image"],
+                       "bg1": bg1["image"]}
                 if args.same_foreground:
                     raw["bg1"] = raw["bg0"]
                 if need_region:
                     raw["region_maps"] = fg["region_map"]
-                raw = shard_batch(raw, mesh)
+                return shard_batch(raw, mesh)
+
+            if args.prefetch_depth > 0:
+                from cp2_tpu.data.prefetch import DevicePrefetcher
+
+                staged = DevicePrefetcher(iters, _stage,
+                                          depth=args.prefetch_depth)
+            else:
+                staged = map(_stage, iters)
+            for i, raw in enumerate(staged):
+                if step > args.max_steps:
+                    if hasattr(staged, "close"):
+                        staged.close()  # stop the prefetch thread promptly
+                    break
                 log_now = i % args.scalar_freq == 0 and args.metrics_level > 0
                 visual_now = (
                     visuals_on and i == 0 and epoch % args.visual_freq == 0
@@ -551,6 +604,8 @@ def main(args):
                 state, metrics = run(
                     state, raw, root_key  # per-step fold_in happens in-step
                 )
+                if want_epoch_scalars:
+                    accum_epoch(metrics["_epoch_vec"], 1)
                 if i % args.print_freq == 0:
                     loss_meter.update(float(metrics["loss"]))
                     batch_time.update(time.time() - end)
@@ -560,30 +615,26 @@ def main(args):
                 if log_now or visual_now:
                     scalars = {
                         k: float(v) for k, v in metrics.items()
-                        if not k.startswith("_visual/")
+                        if not k.startswith(("_visual/", "_epoch"))
                     }
                     metrics_sink.log(scalars, step=step)
-                    # epoch aggregates (reference on_train_epoch_end,
-                    # builder.py:1608-1664): running means of the train/
-                    # scalar families over the logged steps
-                    for k, v in scalars.items():
-                        if k.startswith("train/") and k.endswith("_step"):
-                            epoch_meters.setdefault(
-                                k, AverageMeter(k)
-                            ).update(v)
                 end = time.time()
                 step += 1
             flush_chunk()  # partial chunk at epoch end
 
-            if epoch_meters:
+            if epoch_vec_count:
+                # exact epoch means: every step contributed (reference
+                # on_train_epoch_end, builder.py:1608-1664)
+                sums = np.asarray(jax.device_get(epoch_vec_sum), np.float64)
                 metrics_sink.log(
                     {
-                        k[: -len("_step")]: m.avg
-                        for k, m in epoch_meters.items()
+                        name: float(v / epoch_vec_count)
+                        for name, v in zip(epoch_names, sums)
                     },
                     step=step,
                 )
-                epoch_meters.clear()
+                epoch_vec_sum = None
+                epoch_vec_count = 0
 
             is_last = epoch >= args.epochs - 1
             if (

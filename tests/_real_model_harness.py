@@ -70,6 +70,8 @@ def build_torch_modules():
     class TBasicBlock(nn.Module):
         """mmseg BasicBlock (resnet.py:13-94): 3x3(s,d) → 3x3(d) + skip."""
 
+        expansion = 1
+
         def __init__(self, cin, planes, stride=1, dilation=1):
             super().__init__()
             self.conv1 = TConvModule(cin, planes, 3, stride, dilation)
@@ -85,6 +87,30 @@ def build_torch_modules():
             identity = self.downsample(x) if self.downsample else x
             return F.relu(self.conv2(self.conv1(x)) + identity)
 
+    class TBottleneck(nn.Module):
+        """mmseg Bottleneck (resnet.py:97-305), 'pytorch' style: the
+        stride/dilation live on the 3x3 middle conv; expansion 4."""
+
+        expansion = 4
+
+        def __init__(self, cin, planes, stride=1, dilation=1):
+            super().__init__()
+            self.conv1 = TConvModule(cin, planes, 1)
+            self.conv2 = TConvModule(planes, planes, 3, stride, dilation)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.norm3 = nn.BatchNorm2d(planes * 4)
+            self.downsample = (
+                TConvModule(cin, planes * 4, 1, stride, act=False)
+                if stride != 1 or cin != planes * 4
+                else None
+            )
+
+        def forward(self, x):
+            identity = self.downsample(x) if self.downsample else x
+            out = self.conv2(self.conv1(x))
+            out = self.norm3(self.conv3(out))
+            return F.relu(out + identity)
+
     class TResNet(nn.Module):
         """Tiny mmseg-config ResNet (BasicBlock depths), stage tuple out.
 
@@ -95,8 +121,10 @@ def build_torch_modules():
 
         def __init__(self, stage_blocks=(2, 2, 2, 2), stem_channels=8,
                      base_channels=8, strides=(1, 2, 2, 1),
-                     dilations=(1, 1, 1, 2), contract_dilation=True):
+                     dilations=(1, 1, 1, 2), contract_dilation=True,
+                     block="basic"):
             super().__init__()
+            block_cls = TBottleneck if block == "bottleneck" else TBasicBlock
             self.conv1 = TConvModule(3, stem_channels, 7, 2, padding=3)
             cin = stem_channels
             self.stages = nn.ModuleList()
@@ -108,11 +136,11 @@ def build_torch_modules():
                         d = dilations[i] // 2
                     else:
                         d = dilations[i]
-                    blocks.append(TBasicBlock(
+                    blocks.append(block_cls(
                         cin, planes, stride=strides[i] if b == 0 else 1,
                         dilation=d,
                     ))
-                    cin = planes
+                    cin = planes * block_cls.expansion
                 self.stages.append(nn.Sequential(*blocks))
 
         def forward(self, x):
@@ -226,6 +254,14 @@ def extract_segmentor_trees(seg) -> Tuple[Dict, Dict]:
             bs: Dict[str, Any] = {}
             for name in ("conv1", "conv2"):
                 bp[name], bs[name] = _conv_module_trees(getattr(block, name))
+            if hasattr(block, "conv3"):  # Bottleneck: bare conv3 + norm3
+                bp["conv3"] = {
+                    "kernel": _t2n(block.conv3.weight).transpose(2, 3, 1, 0)
+                }
+                bp["norm3"] = {"scale": _t2n(block.norm3.weight),
+                               "bias": _t2n(block.norm3.bias)}
+                bs["norm3"] = {"mean": _t2n(block.norm3.running_mean),
+                               "var": _t2n(block.norm3.running_var)}
             if block.downsample is not None:
                 bp["downsample"], bs["downsample"] = _conv_module_trees(
                     block.downsample

@@ -52,7 +52,9 @@ def unlabeled_tree(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("pretrain_imgs")
     r = np.random.RandomState(0)
-    for i in range(12):
+    # 24 images / batch 8 -> 3 steps, so the epoch aggregate averages more
+    # than one step (the semantics test_pretrain_debug_smoke pins)
+    for i in range(24):
         Image.fromarray((r.rand(40, 48, 3) * 255).astype(np.uint8)).save(
             root / f"img{i:02d}.png"
         )
@@ -96,3 +98,15 @@ def test_pretrain_debug_smoke_8dev(unlabeled_tree, tmp_path):
         rows = [json.loads(line) for line in fh]
     losses = [row["train/loss_step"] for row in rows if "train/loss_step" in row]
     assert losses and all(np.isfinite(v) for v in losses)
+    # exact epoch aggregate (reference on_train_epoch_end averages EVERY
+    # step, builder.py:1608-1664): --debug logs every step (scalar_freq 1),
+    # so the epoch mean must equal the mean of the step rows
+    epoch_rows = [row for row in rows
+                  if "train/loss" in row and "train/loss_step" not in row]
+    assert epoch_rows, "no epoch-aggregate row logged"
+    np.testing.assert_allclose(
+        epoch_rows[-1]["train/loss"], np.mean(losses), rtol=1e-5
+    )
+    for key in ("train/acc_ins", "train/acc_seg", "train/loss_ins",
+                "train/loss_dense", "train/cross_image_variance_source"):
+        assert key in epoch_rows[-1], key

@@ -232,6 +232,63 @@ def _max_rel_tree_dev(a, b) -> float:
 
 
 @pytest.mark.slow
+def test_real_bottleneck_forward_parity():
+    """Bottleneck (ResNet-50-family) twin parity: the depth-50 stage
+    semantics (1x1 → strided/dilated 3x3 → 1x1 expand + contract_dilation)
+    and the conv3/norm3 extraction path, at reduced width."""
+    torch_kw = dict(
+        stage_blocks=(3, 4, 6, 3), block="bottleneck",
+        stem_channels=8, base_channels=8,
+        strides=(1, 2, 2, 1), dilations=(1, 1, 1, 2),
+        contract_dilation=True,
+        in_channels=256, channels=16, aspp_dilations=(1, 6, 12, 18),
+        contrast_dim=DIM,
+    )
+    factory = make_real_segmentor_factory(SEED, **torch_kw)
+    seg = factory(None)
+    params0, stats0 = extract_segmentor_trees(seg)
+
+    r = np.random.RandomState(1)
+    img = r.rand(2, HW, HW, 3).astype(np.float32)
+    seg.train()
+    with torch.no_grad():
+        ref_out = seg(torch.from_numpy(
+            np.ascontiguousarray(img.transpose(0, 3, 1, 2))))
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)
+
+    flax_cfg = {
+        "backbone": dict(
+            type="ResNet", depth=50, stem_channels=8, base_channels=8,
+            strides=(1, 2, 2, 1), dilations=(1, 1, 1, 2),
+            contract_dilation=True, out_indices=(0, 1, 2, 3),
+            norm_cfg={"type": "BN"},
+        ),
+        "decode_head": dict(
+            type="ASPPHead", in_channels=256, in_index=3, channels=16,
+            dilations=(1, 6, 12, 18), contrast=True, contrast_dim=DIM,
+            num_classes=2, norm_cfg={"type": "BN"},
+        ),
+    }
+    model = SSLEncoder(model_cfg=flax_cfg, pretrain_type=PretrainType.CP2,
+                       dim=DIM)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, HW, HW, 3)), method="init_all")
+    variables = {
+        "params": {"encoder": graft_by_paths(
+            jax.device_get(variables["params"])["encoder"], params0)},
+        "batch_stats": {"encoder": graft_by_paths(
+            jax.device_get(variables["batch_stats"])["encoder"], stats0)},
+    }
+    our_out, _ = model.apply(variables, jnp.asarray(img), train=True,
+                             mutable=["batch_stats"])
+    # 50 conv/BN layers of f32 accumulate ~4e-4 absolute cross-framework
+    # noise (the depth-18 gate above holds 2e-5); anything structural
+    # would be O(1)
+    np.testing.assert_allclose(np.asarray(our_out), ref_out,
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_real_model_cp2_trajectory_matches_reference():
     """8 full optimizer steps through the REAL architecture.
 

@@ -307,3 +307,63 @@ def test_queue_rejects_batch_larger_than_queue():
     keys = jnp.ones((6, 4))
     with pytest.raises(ValueError, match="exceeds queue length"):
         queue_enqueue(queue, ptr, keys)
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [PretrainType.CP2, PretrainType.MOCO, PretrainType.BYOL,
+     PretrainType.DENSECL],
+    ids=lambda v: v.name,
+)
+@pytest.mark.slow
+def test_epoch_vec_matches_scalar_family(variant):
+    """epoch_scalars=True at metrics_level=0 returns _epoch_vec whose
+    entries equal the variant's train/ scalar family (the values the
+    reference averages into epoch aggregates EVERY step,
+    builder.py:1608-1664), in epoch_scalar_names order."""
+    from cp2_tpu.ssl.train_step import (
+        _EPOCH_SOURCES,
+        epoch_scalar_names,
+    )
+
+    kwargs = {}
+    if variant == PretrainType.DENSECL:
+        kwargs = dict(
+            momentum=0.999, lmbd_cp2_dense_loss=0.5,
+            instance_logits_temp=0.2, dense_logits_temp=0.2,
+        )
+    hp = SSLHyperParams.for_variant(variant, dim=DIM, queue_len=64, **kwargs)
+    model = SSLEncoder(
+        model_cfg=TINY_MODEL, pretrain_type=variant,
+        backbone_type=BackboneType.DEEPLABV3, dim=DIM,
+    )
+    tx = make_optimizer("sgd", 0.05)
+    batch = _tiny_batch(0)
+    state = create_pretrain_state(
+        jax.random.PRNGKey(0), model, tx, hp, batch["img_a"],
+        init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
+    )
+    os_ = output_stride_of(TINY_MODEL)
+    bos = backbone_output_stride_of(TINY_MODEL, BackboneType.DEEPLABV3)
+    quiet = jax.jit(make_pretrain_step(
+        model, tx, hp, os_, bos, metrics_level=0, epoch_scalars=True))
+    full = jax.jit(make_pretrain_step(
+        model, tx, hp, os_, bos, metrics_level=1, epoch_scalars=True))
+
+    rng = jax.random.PRNGKey(1)
+    _, mq = quiet(state, batch, rng)
+    _, mf = full(state, batch, rng)
+
+    names = epoch_scalar_names(variant)
+    vec_q = np.asarray(mq["_epoch_vec"])
+    vec_f = np.asarray(mf["_epoch_vec"])
+    assert vec_q.shape == (len(names),)
+    # quiet and metrics-on steps agree on the epoch family exactly
+    np.testing.assert_allclose(vec_q, vec_f, rtol=1e-6)
+    # and each entry equals its named scalar in the full metrics dict
+    for i, name in enumerate(names):
+        src = next(s for s in _EPOCH_SOURCES[name] if s in mf)
+        np.testing.assert_allclose(
+            vec_f[i], float(mf[src]), rtol=1e-6, err_msg=name
+        )
+    assert np.isfinite(vec_q).all()
