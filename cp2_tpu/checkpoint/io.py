@@ -55,7 +55,16 @@ def save_checkpoint(
     finalizes atomically — an interrupted save never appears at the final
     path).  Call :func:`wait_for_checkpoints` before reading the checkpoint
     back or exiting the process.
+
+    Multi-host contract: EVERY process must call this (orbax's save runs a
+    global ``sync_global_processes`` barrier; a rank-0-gated call deadlocks
+    the pod — found by tests/test_multiprocess_finetune.py).  Only process
+    0 writes the array data, ``meta.json``, and the ``latest`` link; a
+    shared filesystem is assumed, like the reference's rank-0
+    ``torch.save`` (main.py:661-670).
     """
+    import jax
+
     directory = os.path.abspath(os.path.expanduser(directory))
     path = os.path.join(directory, str(step))
     if async_save:
@@ -65,16 +74,18 @@ def save_checkpoint(
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, "state"), state, force=True)
         ckptr.wait_until_finished()
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, META_NAME), "w") as f:
-        json.dump({"step": step, **(meta or {})}, f)
-    if keep_latest_link:
-        # reference copies the newest file to checkpoint.ckpt (main.py:661-670)
-        link = os.path.join(directory, "latest")
-        tmp = link + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(step))
-        os.replace(tmp, link)
+    if jax.process_index() == 0:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, META_NAME), "w") as f:
+            json.dump({"step": step, **(meta or {})}, f)
+        if keep_latest_link:
+            # reference copies the newest file to checkpoint.ckpt
+            # (main.py:661-670)
+            link = os.path.join(directory, "latest")
+            tmp = link + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(step))
+            os.replace(tmp, link)
     return path
 
 

@@ -449,19 +449,18 @@ def main(args):
             if val_metrics.get(monitor, -1.0) > best_iou:
                 best_iou = val_metrics[monitor]
                 prev_best = best_path
-                # rank-0 write (reference rank-0 save, main.py:528-550);
-                # other hosts still track best_path for the final restore
-                # (multi-host runs assume a shared log_dir)
-                if jax.process_index() == 0:
-                    best_path = save_checkpoint(
-                        run_dir, step, jax.device_get(state),
-                        meta={"epoch": epoch, monitor: best_iou,
-                              "pretrain_type": args.pretrain_type.name},
-                    )
-                else:
-                    best_path = os.path.join(run_dir, str(step))
+                # EVERY process calls save_checkpoint (orbax's save is a
+                # global barrier; a rank-0-gated call deadlocks the pod —
+                # test_multiprocess_finetune.py); only process 0 writes
+                # bytes, like the reference's rank-0 save (main.py:528-550)
+                best_path = save_checkpoint(
+                    run_dir, step, jax.device_get(state),
+                    meta={"epoch": epoch, monitor: best_iou,
+                          "pretrain_type": args.pretrain_type.name},
+                )
                 logger.info(f"new best {monitor}={best_iou:.4f} -> {best_path}")
-                if prev_best and prev_best != best_path:
+                if prev_best and prev_best != best_path and \
+                        jax.process_index() == 0:
                     # save_top_k=1 parity (reference finetune.py:165-171)
                     import shutil
 
@@ -473,6 +472,12 @@ def main(args):
 
         # final test on the best checkpoint (reference finetune.py:257-274)
         if best_path is not None:
+            if jax.process_count() > 1:
+                # fence rank 0's meta.json/link writes (the array data is
+                # already globally synced by orbax's save barrier)
+                from cp2_tpu.parallel.collectives import barrier
+
+                barrier()
             state, _ = restore_checkpoint(best_path, jax.device_get(state))
             state = shard_pytree(state, mesh)
         test_metrics = run_eval(test_loader, "test_")

@@ -317,8 +317,11 @@ def main(args):
                 step=step,
             )
             logger.info(f"epoch {epoch}: val_loss={val_loss:.4f}")
-            if val_loss < best_val and jax.process_index() == 0:
+            if val_loss < best_val:
                 best_val = val_loss
+                # all processes call (orbax save = global barrier); only
+                # process 0 writes bytes (val_loss is replicated, so every
+                # host takes this branch together)
                 path = save_checkpoint(
                     run_dir, step, jax.device_get(state),
                     meta={"epoch": epoch, "val_loss": val_loss,

@@ -641,9 +641,11 @@ def main(args):
                 epoch % args.ckpt_freq == args.ckpt_freq - 1
                 or step > args.max_steps
                 or is_last
-            ) and jax.process_index() == 0:
-                # rank-0 write (reference main.py:528-550); state is
-                # replicated so host 0's copy is the global truth
+            ):
+                # EVERY process calls save_checkpoint (orbax's save is a
+                # global barrier; a rank-0-gated call deadlocks the pod);
+                # only process 0 writes bytes — reference rank-0 save
+                # semantics (main.py:528-550)
                 path = save_checkpoint(
                     run_dir, step, jax.device_get(state),
                     meta={
@@ -654,7 +656,7 @@ def main(args):
                     async_save=args.async_ckpt,
                 )
                 logger.info(f"saved checkpoint {path}")
-                if args.keep_ckpts > 0:
+                if args.keep_ckpts > 0 and jax.process_index() == 0:
                     wait_for_checkpoints()  # never GC around an in-flight save
                     dropped = gc_checkpoints(run_dir, args.keep_ckpts)
                     if dropped:

@@ -195,9 +195,9 @@ def main(args):
                     logger.info(f"iter {it}/{max_iters} loss={float(m['loss']):.4f}")
                 if not args.no_validate and it % eval_interval == 0:
                     logger.info(f"eval@{it}: {validate()}")
-                if (it % ckpt_interval == 0 or it >= max_iters) and (
-                    jax.process_index() == 0
-                ):
+                if it % ckpt_interval == 0 or it >= max_iters:
+                    # all processes call (orbax save = global barrier);
+                    # only process 0 writes bytes
                     save_checkpoint(work_dir, it, jax.device_get(state),
                                     meta={"iter": it})
                 if it >= max_iters:
