@@ -57,6 +57,10 @@ def main(argv=None):
                    help="'cpu' forces the CPU backend (smoke)")
     p.add_argument("--log_dir", default="/tmp/quality_gate")
     p.add_argument("--skip_scratch", action="store_true")
+    p.add_argument("--reuse_pretrain", action="store_true",
+                   help="skip pretraining if a checkpoint already exists "
+                        "under <log_dir>/qg_pretrain_<seed> (resume after "
+                        "an interrupted run)")
     p.add_argument("--out", default=os.path.join(REPO, "reports", "quality"))
     args = p.parse_args(argv)
 
@@ -80,6 +84,17 @@ def main(argv=None):
     run_tag = f"s{args.seed}"
 
     # ---- 1. CP2 pretrain on the unlabeled train images -------------------
+    pre_dir = os.path.join(args.log_dir, f"qg_pretrain_{run_tag}")
+
+    def _list_ckpts():
+        if not os.path.isdir(pre_dir):
+            return []
+        return sorted(
+            (d for d in os.listdir(pre_dir)
+             if os.path.isdir(os.path.join(pre_dir, d)) and d.isdigit()),
+            key=int,
+        )
+
     t0 = time.time()
     pre_args = pretrain.get_args([
         "--run_id", f"qg_pretrain_{run_tag}",
@@ -94,16 +109,15 @@ def main(argv=None):
         "--seed", str(args.seed),
         "--scalar-freq", "10",
     ])
-    print(f"[quality_gate] pretraining CP2 for {args.pretrain_epochs} "
-          "epochs ...")
-    pretrain.main(pre_args)
-    results["pretrain_seconds"] = time.time() - t0
-    pre_dir = os.path.join(args.log_dir, f"qg_pretrain_{run_tag}")
-    ckpts = sorted(
-        (d for d in os.listdir(pre_dir)
-         if os.path.isdir(os.path.join(pre_dir, d)) and d.isdigit()),
-        key=int,
-    )
+    if args.reuse_pretrain and _list_ckpts():
+        print(f"[quality_gate] reusing pretrain checkpoint under {pre_dir}")
+        results["pretrain_seconds"] = None
+    else:
+        print(f"[quality_gate] pretraining CP2 for {args.pretrain_epochs} "
+              "epochs ...")
+        pretrain.main(pre_args)
+        results["pretrain_seconds"] = time.time() - t0
+    ckpts = _list_ckpts()
     if not ckpts:
         raise RuntimeError(f"no pretrain checkpoint under {pre_dir}")
     pretrain_path = os.path.join(pre_dir, ckpts[-1])
