@@ -109,6 +109,26 @@ def generate(out: str, size: int, counts: dict, seed: int = 0) -> None:
             Image.fromarray(mask).save(os.path.join(mask_dir, stem))
 
 
+def generate_unlabeled(out: str, size: int, n: int, seed: int = 0) -> str:
+    """Pretrain-only pool: images WITHOUT masks, in a sibling dir.
+
+    Mirrors the reference's pretraining regime — a large unlabeled pool
+    disjoint from the labeled finetune set (reference pretrains on the
+    full Kvasir/CVC image pools, datasets/pretrain_dataset.py, while the
+    finetune split subsamples the labeled set).  Stems carry ``train`` so
+    FILENAME pretrain discovery picks them up; the directory is outside
+    ``images/`` so the finetune CLIs never see them.
+    """
+    un_dir = os.path.join(out, "unlabeled")
+    os.makedirs(un_dir, exist_ok=True)
+    for i in range(n):
+        img, _ = make_sample(seed + 3_000_000 + i, size)
+        Image.fromarray(img).save(
+            os.path.join(un_dir, f"train_u{i:05d}.png")
+        )
+    return un_dir
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
@@ -116,6 +136,7 @@ def main(argv=None):
     p.add_argument("--n_train", type=int, default=400)
     p.add_argument("--n_val", type=int, default=60)
     p.add_argument("--n_test", type=int, default=80)
+    p.add_argument("--n_unlabeled", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     generate(
@@ -123,7 +144,10 @@ def main(argv=None):
         {"train": args.n_train, "val": args.n_val, "test": args.n_test},
         args.seed,
     )
-    print(f"wrote {args.n_train}+{args.n_val}+{args.n_test} "
+    if args.n_unlabeled:
+        generate_unlabeled(args.out, args.size, args.n_unlabeled, args.seed)
+    print(f"wrote {args.n_train}+{args.n_val}+{args.n_test}"
+          f"+{args.n_unlabeled}u "
           f"{args.size}x{args.size} samples to {args.out}")
 
 

@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--n_train", type=int, default=400)
     p.add_argument("--n_val", type=int, default=60)
     p.add_argument("--n_test", type=int, default=80)
+    p.add_argument("--n_unlabeled", type=int, default=0,
+                   help="extra pretrain-only unlabeled images (mirrors the "
+                        "reference's large-unlabeled-pool regime; 0 = "
+                        "pretrain on the labeled train images only)")
     p.add_argument("--img_size", type=int, default=160)
     p.add_argument("--pretrain_epochs", type=int, default=60)
     p.add_argument("--pretrain_batch", type=int, default=32)
@@ -57,6 +61,10 @@ def main(argv=None):
                    help="'cpu' forces the CPU backend (smoke)")
     p.add_argument("--log_dir", default="/tmp/quality_gate")
     p.add_argument("--skip_scratch", action="store_true")
+    p.add_argument("--scratch_from", default="",
+                   help="path to a prior quality_gate JSON whose "
+                        "finetune_scratch is reused (the scratch control "
+                        "is pretrain-independent)")
     p.add_argument("--reuse_pretrain", action="store_true",
                    help="skip pretraining if a checkpoint already exists "
                         "under <log_dir>/qg_pretrain_<seed> (resume after "
@@ -69,7 +77,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    from tools.make_synthetic_dataset import generate
+    from tools.make_synthetic_dataset import generate, generate_unlabeled
 
     img_dir = os.path.join(args.root, "images")
     if not os.path.isdir(img_dir) or not os.listdir(img_dir):
@@ -78,10 +86,26 @@ def main(argv=None):
                  {"train": args.n_train, "val": args.n_val,
                   "test": args.n_test}, args.seed)
 
+    pretrain_dirs = [img_dir]
+    if args.n_unlabeled:
+        un_dir = os.path.join(args.root, "unlabeled")
+        have = len(os.listdir(un_dir)) if os.path.isdir(un_dir) else 0
+        if have < args.n_unlabeled:
+            print(f"generating {args.n_unlabeled} unlabeled pretrain "
+                  f"images at {un_dir} ...")
+            generate_unlabeled(args.root, args.size, args.n_unlabeled,
+                               args.seed)
+        pretrain_dirs.append(un_dir)
+
     from cp2_tpu.train import finetune, pretrain
 
     results = {"config": vars(args).copy()}
+    # ratio-tag the finetune run ids so sweep legs do not share checkpoint
+    # directories (the pretrain leg is ratio-independent and stays shared)
     run_tag = f"s{args.seed}"
+    if args.n_unlabeled:
+        run_tag = f"u{args.n_unlabeled}_{run_tag}"
+    ft_tag = run_tag if args.train_ratio == 1.0 else f"r{args.train_ratio}_{run_tag}"
 
     # ---- 1. CP2 pretrain on the unlabeled train images -------------------
     pre_dir = os.path.join(args.log_dir, f"qg_pretrain_{run_tag}")
@@ -99,7 +123,7 @@ def main(argv=None):
     pre_args = pretrain.get_args([
         "--run_id", f"qg_pretrain_{run_tag}",
         "--log_dir", args.log_dir,
-        "--data_dirs", img_dir,
+        "--data_dirs", *pretrain_dirs,
         "--directory_type", "FILENAME",
         "--pretrain_type", "CP2",
         "--img_height", str(args.img_size), "--img_width", str(args.img_size),
@@ -137,7 +161,7 @@ def main(argv=None):
 
     def run_finetune(tag, pretrain_type, pretrain_path=""):
         ft = [
-            "--run_id", f"qg_ft_{tag}_{run_tag}",
+            "--run_id", f"qg_ft_{tag}_{ft_tag}",
             "--log_dir", args.log_dir,
             "--img_dirs", img_dir, "--mask_dirs", mask_dir,
             "--data_split_type", "FILENAME",
@@ -163,9 +187,17 @@ def main(argv=None):
     results["finetune_cp2"] = run_finetune("cp2", "CP2", pretrain_path)
 
     # ---- 3. control: identical finetune from scratch ----------------------
-    if not args.skip_scratch:
+    if args.scratch_from:
+        with open(args.scratch_from) as fh:
+            prior = json.load(fh)
+        assert prior["config"]["train_ratio"] == args.train_ratio, (
+            "scratch_from ratio mismatch")
+        results["finetune_scratch"] = dict(prior["finetune_scratch"],
+                                           imported_from=args.scratch_from)
+    elif not args.skip_scratch:
         print("[quality_gate] finetuning from scratch (control) ...")
         results["finetune_scratch"] = run_finetune("scratch", "NONE")
+    if "finetune_scratch" in results:
         results["dice_gain_over_scratch"] = (
             results["finetune_cp2"].get("test_Dice", float("nan"))
             - results["finetune_scratch"].get("test_Dice", float("nan"))
@@ -173,11 +205,12 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     out_path = os.path.join(args.out, "quality_gate.json")
-    # keep one file per ratio/seed so sweeps do not clobber each other
-    if args.train_ratio != 1.0 or args.seed != 0:
+    # keep one file per pool/ratio/seed so sweeps do not clobber each other
+    if args.train_ratio != 1.0 or args.seed != 0 or args.n_unlabeled:
+        pool = f"u{args.n_unlabeled}_" if args.n_unlabeled else ""
         out_path = os.path.join(
             args.out,
-            f"quality_gate_r{args.train_ratio}_s{args.seed}.json",
+            f"quality_gate_{pool}r{args.train_ratio}_s{args.seed}.json",
         )
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
