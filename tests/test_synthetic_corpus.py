@@ -1,0 +1,86 @@
+"""Contract tests for the quality-gate synthetic corpus.
+
+The gate (tools/quality_gate.py) pretrains on ``images/`` PLUS an
+``unlabeled/`` pool and finetunes on ``images/``+``masks/`` only — the
+same regime as the reference, which pretrains on the full unlabeled
+image pools (datasets/pretrain_dataset.py) while the finetune split
+subsamples the labeled set (datasets/finetune_dataset.py:150-207).
+These tests pin the discovery rules that keep the two sets disjoint.
+"""
+
+import hashlib
+import os
+import shutil
+import tempfile
+from glob import glob
+
+import pytest
+
+from cp2_tpu.data.datasets import (
+    DatasetType,
+    DataSplitType,
+    get_data_splits,
+    get_pretrain_files,
+    list_image_mask_pairs,
+)
+from tools.make_synthetic_dataset import generate, generate_unlabeled
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # NOT a pytest tmp dir: FILENAME split matching is substring-on-path
+    # (reference datasets/pretrain_dataset.py semantics), and "pytest-*"
+    # path components contain "test"
+    root = tempfile.mkdtemp(prefix="syncorpus_", dir="/tmp")
+    generate(root, 32, {"train": 6, "val": 2, "test": 2}, seed=7)
+    generate_unlabeled(root, 32, 5, seed=7)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pretrain_sees_labeled_and_pool(corpus):
+    img_dir = os.path.join(corpus, "images")
+    un_dir = os.path.join(corpus, "unlabeled")
+    files = get_pretrain_files([img_dir, un_dir], DatasetType.FILENAME,
+                               "train")
+    assert len(files) == 6 + 5
+    # and the pool never leaks into val/test discovery
+    for split in ("val", "test"):
+        split_files = get_pretrain_files([img_dir, un_dir],
+                                         DatasetType.FILENAME, split)
+        assert len(split_files) == 2
+        assert all("unlabeled" + os.sep not in p for p in split_files)
+
+
+def test_finetune_splits_never_see_pool(corpus):
+    pairs = list_image_mask_pairs(os.path.join(corpus, "images"),
+                                  os.path.join(corpus, "masks"))
+    assert len(pairs) == 10
+    splits = get_data_splits(pairs, DataSplitType.FILENAME, 1.0)
+    assert {k: len(v) for k, v in splits.items()} == {
+        "train": 6, "val": 2, "test": 2}
+    assert all("unlabeled" + os.sep not in img
+               for split in splits.values() for img, _ in split)
+
+
+def test_pool_images_have_no_masks(corpus):
+    stems = {os.path.basename(p)
+             for p in glob(os.path.join(corpus, "unlabeled", "*"))}
+    assert len(stems) == 5
+    mask_stems = {os.path.basename(p)
+                  for p in glob(os.path.join(corpus, "masks", "*"))}
+    assert not stems & mask_stems
+
+
+def test_pool_generation_deterministic(corpus, tmp_path):
+    generate_unlabeled(str(tmp_path), 32, 5, seed=7)
+    for name in sorted(os.listdir(os.path.join(corpus, "unlabeled"))):
+        a = open(os.path.join(corpus, "unlabeled", name), "rb").read()
+        b = open(os.path.join(str(tmp_path), "unlabeled", name), "rb").read()
+        assert hashlib.md5(a).digest() == hashlib.md5(b).digest(), name
+    # pool indices are seed-offset from the labeled splits: disjoint content
+    first_pool = open(os.path.join(corpus, "unlabeled",
+                                   "train_u00000.png"), "rb").read()
+    first_train = open(os.path.join(corpus, "images",
+                                    "train_0000.png"), "rb").read()
+    assert first_pool != first_train
