@@ -113,3 +113,15 @@ def test_dryrun_covers_every_entry_kind(dryrun_env):
     for script in SCRIPTS:
         kinds.update(k for k, _ in _invocations(script, dryrun_env))
     assert kinds == {"PRETRAIN", "FINETUNE", "MIRROR"}
+
+
+def test_quality_gate_dryrun():
+    """The north-star gate's CLI argvs survive the real parsers, with and
+    without the unlabeled pool (tools/quality_gate.py --dryrun)."""
+    from tools import quality_gate
+
+    for extra in ([], ["--n_unlabeled", "100"],
+                  ["--train_ratio", "0.3", "--seed", "1"]):
+        out = quality_gate.main(["--dryrun"] + extra)
+        assert out["dryrun"] is True
+        assert out["pre_args"].pretrain_type.name == "CP2"

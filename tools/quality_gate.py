@@ -70,6 +70,10 @@ def main(argv=None):
                         "under <log_dir>/qg_pretrain_<seed> (resume after "
                         "an interrupted run)")
     p.add_argument("--out", default=os.path.join(REPO, "reports", "quality"))
+    p.add_argument("--dryrun", action="store_true",
+                   help="build + validate every CLI argv through the real "
+                        "get_args (flag-rot guard), generate nothing, run "
+                        "nothing")
     args = p.parse_args(argv)
 
     if args.device == "cpu":
@@ -80,7 +84,8 @@ def main(argv=None):
     from tools.make_synthetic_dataset import generate, generate_unlabeled
 
     img_dir = os.path.join(args.root, "images")
-    if not os.path.isdir(img_dir) or not os.listdir(img_dir):
+    if not args.dryrun and (
+            not os.path.isdir(img_dir) or not os.listdir(img_dir)):
         print(f"generating corpus at {args.root} ...")
         generate(args.root, args.size,
                  {"train": args.n_train, "val": args.n_val,
@@ -90,7 +95,7 @@ def main(argv=None):
     if args.n_unlabeled:
         un_dir = os.path.join(args.root, "unlabeled")
         have = len(os.listdir(un_dir)) if os.path.isdir(un_dir) else 0
-        if have < args.n_unlabeled:
+        if have < args.n_unlabeled and not args.dryrun:
             print(f"generating {args.n_unlabeled} unlabeled pretrain "
                   f"images at {un_dir} ...")
             generate_unlabeled(args.root, args.size, args.n_unlabeled,
@@ -133,6 +138,37 @@ def main(argv=None):
         "--seed", str(args.seed),
         "--scalar-freq", "10",
     ])
+    mask_dir = os.path.join(args.root, "masks")
+
+    def ft_argv(tag, pretrain_type, pretrain_path=""):
+        ft = [
+            "--run_id", f"qg_ft_{tag}_{ft_tag}",
+            "--log_dir", args.log_dir,
+            "--img_dirs", img_dir, "--mask_dirs", mask_dir,
+            "--data_split_type", "FILENAME",
+            "--train_data_ratio", str(args.train_ratio),
+            "--img_height", str(args.img_size),
+            "--img_width", str(args.img_size),
+            "--batch_size", str(args.finetune_batch),
+            "--epochs", str(args.finetune_epochs),
+            "--pretrain_type", pretrain_type,
+            "--seed", str(args.seed),
+            "--visualize_freq", "0",
+        ]
+        if pretrain_path:
+            ft += ["--pretrain_path", pretrain_path]
+        return ft
+
+    if args.dryrun:
+        # flag-rot guard: every argv above must survive the real parsers
+        # (+ their hparam validation webs); nothing is generated or run
+        for leg in (ft_argv("cp2", "CP2", "/dev/null/ckpt"),
+                    ft_argv("scratch", "NONE")):
+            finetune.get_args(leg)
+            print("[quality_gate dryrun] finetune:", " ".join(leg))
+        print("[quality_gate dryrun] pretrain argv + 2 finetune argvs OK")
+        return {"dryrun": True, "pre_args": pre_args}
+
     if args.reuse_pretrain and _list_ckpts():
         print(f"[quality_gate] reusing pretrain checkpoint under {pre_dir}")
         results["pretrain_seconds"] = None
@@ -157,25 +193,8 @@ def main(argv=None):
     results["pretrain_loss_first"] = losses[0] if losses else None
     results["pretrain_loss_last"] = losses[-1] if losses else None
 
-    mask_dir = os.path.join(args.root, "masks")
-
     def run_finetune(tag, pretrain_type, pretrain_path=""):
-        ft = [
-            "--run_id", f"qg_ft_{tag}_{ft_tag}",
-            "--log_dir", args.log_dir,
-            "--img_dirs", img_dir, "--mask_dirs", mask_dir,
-            "--data_split_type", "FILENAME",
-            "--train_data_ratio", str(args.train_ratio),
-            "--img_height", str(args.img_size),
-            "--img_width", str(args.img_size),
-            "--batch_size", str(args.finetune_batch),
-            "--epochs", str(args.finetune_epochs),
-            "--pretrain_type", pretrain_type,
-            "--seed", str(args.seed),
-            "--visualize_freq", "0",
-        ]
-        if pretrain_path:
-            ft += ["--pretrain_path", pretrain_path]
+        ft = ft_argv(tag, pretrain_type, pretrain_path)
         t0 = time.time()
         metrics = finetune.main(finetune.get_args(ft))
         metrics = {k: float(v) for k, v in metrics.items()}
