@@ -422,7 +422,13 @@ def main(args):
 
     start_epoch = args.start_epoch
     if args.resume:
-        path = args.resume if os.path.isdir(args.resume) else latest_checkpoint(args.resume)
+        # --resume accepts a single checkpoint dir (contains the orbax
+        # "state" item) OR a run dir, where the latest checkpoint — if any
+        # exists yet — is used; a fresh run dir starts from scratch
+        if os.path.isdir(os.path.join(args.resume, "state")):
+            path = args.resume
+        else:
+            path = latest_checkpoint(args.resume)
         if path:
             state, meta = restore_checkpoint(path, state)
             start_epoch = int(meta.get("epoch", 0))

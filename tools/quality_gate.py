@@ -124,6 +124,20 @@ def main(argv=None):
             key=int,
         )
 
+    def _finished_ckpt():
+        """Last checkpoint, only if its meta says the full epoch budget ran
+        (a mid-run periodic save must trigger a RESUME, not a reuse)."""
+        ckpts = _list_ckpts()
+        if not ckpts:
+            return None
+        last = os.path.join(pre_dir, ckpts[-1])
+        meta_path = os.path.join(last, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                if json.load(fh).get("epoch", -1) >= args.pretrain_epochs:
+                    return last
+        return None
+
     t0 = time.time()
     pre_args = pretrain.get_args([
         "--run_id", f"qg_pretrain_{run_tag}",
@@ -137,6 +151,10 @@ def main(argv=None):
         "--pretrain_from_scratch", "--cap_queue",
         "--seed", str(args.seed),
         "--scalar-freq", "10",
+        # crash/wedge insurance: periodic saves + resume-from-latest make
+        # the gate idempotent — relaunching the same command continues
+        "--ckpt-freq", "8",
+        "--resume", pre_dir,
     ])
     mask_dir = os.path.join(args.root, "masks")
 
@@ -169,7 +187,7 @@ def main(argv=None):
         print("[quality_gate dryrun] pretrain argv + 2 finetune argvs OK")
         return {"dryrun": True, "pre_args": pre_args}
 
-    if args.reuse_pretrain and _list_ckpts():
+    if args.reuse_pretrain and _finished_ckpt():
         print(f"[quality_gate] reusing pretrain checkpoint under {pre_dir}")
         results["pretrain_seconds"] = None
     else:
@@ -177,10 +195,11 @@ def main(argv=None):
               "epochs ...")
         pretrain.main(pre_args)
         results["pretrain_seconds"] = time.time() - t0
-    ckpts = _list_ckpts()
-    if not ckpts:
-        raise RuntimeError(f"no pretrain checkpoint under {pre_dir}")
-    pretrain_path = os.path.join(pre_dir, ckpts[-1])
+    pretrain_path = _finished_ckpt()
+    if pretrain_path is None:
+        raise RuntimeError(
+            f"no FINISHED ({args.pretrain_epochs}-epoch) pretrain "
+            f"checkpoint under {pre_dir}")
     results["pretrain_ckpt"] = pretrain_path
 
     # capture the pretrain loss curve for the report
