@@ -125,3 +125,14 @@ def test_quality_gate_dryrun():
         out = quality_gate.main(["--dryrun"] + extra)
         assert out["dryrun"] is True
         assert out["pre_args"].pretrain_type.name == "CP2"
+
+
+def test_dice_parity_dryrun():
+    """The head-to-head Dice-parity tool's finetune argvs (incl. the
+    generated tiny-twin --config) survive the real parser
+    (tools/dice_parity.py --dryrun)."""
+    from tools import dice_parity
+
+    for extra in ([], ["--train_ratio", "0.3", "--seed", "1"]):
+        out = dice_parity.main(["--dryrun"] + extra)
+        assert out["dryrun"] is True

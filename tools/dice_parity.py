@@ -1,0 +1,384 @@
+"""Head-to-head finetune-Dice parity: reference-pretrained vs ours.
+
+VERDICT r3 recorded "direct reference-Dice comparison is not executable
+in this environment" because the reference's CUDA/Lightning stack cannot
+run here.  This tool executes the closest direct measurement of the
+north star ("finetune Dice on polyp within 0.5 pts of reference"):
+
+1. Build identical CP2 pretrain batches from the synthetic corpus
+   (two overlapping crops + exact pixel/region ids + erased backgrounds,
+   precomputed in numpy so both frameworks consume the same arrays).
+2. Pretrain THREE checkpoints of the same real (small) dilated
+   ResNet-18 + ASPP-contrast architecture from the same init:
+   * ``ref``  — the reference's own ``builder.MODEL.forward_cp2`` + SGD
+     on CPU torch (tests/_real_model_harness torch twin, driven by
+     /root/reference/builder.py:1124-1606 itself);
+   * ``pert`` — the same reference run with a single 1e-6 kernel
+     perturbation (the chaos control: how much Dice spread the
+     reference's OWN float sensitivity produces);
+   * ``ours`` — the rebuild's jitted pretrain step (CPU JAX).
+3. Finetune all three checkpoints PLUS a from-scratch control through
+   the real ``cp2_tpu.train.finetune`` CLI (identical config/data/seed;
+   TPU by default, subprocess per leg) and compare test Dice.
+
+Pass criterion: |Dice(ours) − Dice(ref)| ≤ max(|Dice(pert) − Dice(ref)|,
+0.005) — the rebuild's checkpoint is indistinguishable from the
+reference's up to the reference's own float-noise spread, which is the
+strongest executable form of "switching frameworks preserves finetune
+Dice".  Writes ``reports/quality/dice_parity.json``.
+
+Run (stages 1-3 CPU ~20-40 min, finetunes on the TPU ~30 min):
+``PYTHONPATH=/root/repo python tools/dice_parity.py``
+Smoke: ``python tools/dice_parity.py --smoke --device cpu``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+# the tiny-but-real twin architecture (dilated BasicBlock-18 + ASPP
+# contrast head, OS=16) shared with the trajectory-parity suite
+TINY18_CONFIG = """\
+# Auto-written by tools/dice_parity.py: finetune twin of the
+# tests/_real_model_harness pretrain architecture (dilated ResNet-18,
+# stem/base 8, ASPP channels 16) with the classifier head.
+norm_cfg = dict(type="BN", requires_grad=True)
+model = dict(
+    type="EncoderDecoder",
+    backbone=dict(
+        type="ResNet", depth=18, stem_channels=8, base_channels=8,
+        num_stages=4, out_indices=(0, 1, 2, 3),
+        dilations=(1, 1, 1, 2), strides=(1, 2, 2, 1),
+        norm_cfg=norm_cfg, norm_eval=False, style="pytorch",
+        contract_dilation=True,
+    ),
+    decode_head=dict(
+        type="ASPPHead", in_channels=64, in_index=3, channels=16,
+        dilations=(1, 6, 12, 18), dropout_ratio=0.1, num_classes=None,
+        norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type="CrossEntropyLoss", use_sigmoid=False,
+                         loss_weight=1.0),
+    ),
+    auxiliary_head=None,
+    train_cfg=dict(),
+    test_cfg=dict(mode="whole"),
+)
+"""
+
+# child code for one finetune leg: runs the REAL finetune CLI in its own
+# process (so the parent can force CPU for the pretrain stages while the
+# legs use the default TPU backend) and dumps main()'s metrics to JSON
+_CHILD = (
+    "import json, os, sys\n"
+    "if os.environ.get('DICE_PARITY_CPU'):\n"
+    "    import jax; jax.config.update('jax_platforms', 'cpu')\n"
+    "from cp2_tpu.train import finetune\n"
+    "m = finetune.main(finetune.get_args(sys.argv[2:]))\n"
+    "json.dump({k: float(v) for k, v in m.items()}, open(sys.argv[1], 'w'))\n"
+)
+
+
+def _load_img(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def make_corpus_batches(files, n_steps: int, batch: int, hw: int,
+                        seed: int):
+    """CP2 pretrain batches from real corpus images, precomputed in numpy.
+
+    Replicates the reference pipeline's *semantics* (loader.py:50-118 +
+    main.py:206-228) in a framework-neutral form: two overlapping crops
+    of the same source with exact pixel-id/region-id maps (integer crops,
+    no resize, so id geometry is exact on both sides), per-view
+    brightness/contrast jitter, p=0.5 hflip of view b, and two background
+    streams with a RandomErasing-style zeroed rectangle (forward_cp2
+    composites where bg channel 0 == 0, builder.py:1146-1152).
+    """
+    rng = np.random.RandomState(seed)
+    first = _load_img(files[0])
+    size = first.shape[0]
+    assert size >= hw, f"corpus {size} < crop {hw}"
+    base_ids = np.arange(1, size * size + 1, dtype=np.int64).reshape(
+        size, size)
+    # coarse duplicated region ids (SAM-mask stand-in), 8x8 blocks
+    region = ((base_ids - 1) // 8) % 97 + 1
+
+    cache: dict = {files[0]: first}
+
+    def load(f):
+        if f not in cache:
+            cache[f] = _load_img(f)
+        return cache[f]
+
+    def jitter(v):
+        c = rng.uniform(0.8, 1.2)
+        d = rng.uniform(-0.1, 0.1)
+        return np.clip(v * c + d, 0.0, 1.0)
+
+    batches = []
+    for _ in range(n_steps):
+        img_a = np.empty((batch, hw, hw, 3), np.float32)
+        img_b = np.empty_like(img_a)
+        ids_a = np.empty((batch, hw, hw), np.int64)
+        ids_b = np.empty_like(ids_a)
+        reg_a = np.empty_like(ids_a)
+        reg_b = np.empty_like(ids_a)
+        for j in range(batch):
+            src = load(files[rng.randint(len(files))])
+            ya, xa = rng.randint(0, size - hw + 1, 2)
+            yb = int(np.clip(ya + rng.randint(-hw // 3, hw // 3 + 1),
+                             0, size - hw))
+            xb = int(np.clip(xa + rng.randint(-hw // 3, hw // 3 + 1),
+                             0, size - hw))
+            a = jitter(src[ya:ya + hw, xa:xa + hw])
+            b = jitter(src[yb:yb + hw, xb:xb + hw])
+            ia = base_ids[ya:ya + hw, xa:xa + hw]
+            ib = base_ids[yb:yb + hw, xb:xb + hw]
+            ra = region[ya:ya + hw, xa:xa + hw]
+            rb = region[yb:yb + hw, xb:xb + hw]
+            if rng.rand() < 0.5:  # hflip view b, ids ride along
+                b, ib, rb = b[:, ::-1], ib[:, ::-1], rb[:, ::-1]
+            img_a[j], img_b[j] = a, b
+            ids_a[j], ids_b[j] = ia, ib
+            reg_a[j], reg_b[j] = ra, rb
+        bgs = []
+        for _k in range(2):
+            bg = np.empty((batch, hw, hw, 3), np.float32)
+            for j in range(batch):
+                src = load(files[rng.randint(len(files))])
+                y0, x0 = rng.randint(0, size - hw + 1, 2)
+                # keep non-erased pixels strictly > 0 so the composite
+                # mask (bg==0) marks exactly the erased rectangle
+                bg[j] = src[y0:y0 + hw, x0:x0 + hw] * 0.9 + 0.05
+            eh = rng.randint(hw // 4, 3 * hw // 4 + 1, size=batch)
+            ew = rng.randint(hw // 4, 3 * hw // 4 + 1, size=batch)
+            for j in range(batch):
+                ey = rng.randint(0, hw - eh[j] + 1)
+                ex = rng.randint(0, hw - ew[j] + 1)
+                bg[j, ey:ey + eh[j], ex:ex + ew[j], :] = 0.0
+            bgs.append(bg)
+        batches.append({
+            "img_a": img_a, "img_b": np.ascontiguousarray(img_b),
+            "bg0": bgs[0], "bg1": bgs[1],
+            "pixel_ids_a": ids_a,
+            "pixel_ids_b": np.ascontiguousarray(ids_b),
+            "region_ids_a": reg_a,
+            "region_ids_b": np.ascontiguousarray(reg_b),
+        })
+    return batches
+
+
+def save_cp2_checkpoint(directory: str, step: int, params_encoder,
+                        stats_encoder) -> str:
+    """Write an orbax checkpoint in the pretrain CLI's format so the
+    finetune CLI's CP2 loading matrix consumes it unmodified."""
+    from cp2_tpu.checkpoint.io import save_checkpoint
+
+    state = {
+        "params": {"encoder": params_encoder},
+        "batch_stats": {"encoder": stats_encoder},
+    }
+    return save_checkpoint(directory, step, state,
+                           meta={"pretrain_type": "CP2", "epoch": step})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/syn_corpus")
+    p.add_argument("--steps", type=int, default=300,
+                   help="pretrain optimizer steps (identical batches for "
+                        "all three pretrains)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--hw", type=int, default=64,
+                   help="pretrain crop size (the twin architecture is "
+                        "validated at 64², OS=16)")
+    p.add_argument("--lr", type=float, default=0.05,
+                   help="pretrain SGD lr (0.05 moves the tiny twin's "
+                        "weights appreciably in --steps; both frameworks "
+                        "use the identical value)")
+    p.add_argument("--ema", type=float, default=0.99,
+                   help="key-encoder EMA momentum (0.99 so the key "
+                        "encoder tracks within --steps)")
+    p.add_argument("--img_size", type=int, default=160)
+    p.add_argument("--finetune_epochs", type=int, default=40)
+    p.add_argument("--finetune_batch", type=int, default=16)
+    p.add_argument("--train_ratio", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", default=None,
+                   help="'cpu' forces the CPU backend for the finetune "
+                        "legs too (smoke)")
+    p.add_argument("--log_dir", default="/tmp/dice_parity")
+    p.add_argument("--out", default=os.path.join(REPO, "reports", "quality"))
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny everything (plumbing check)")
+    p.add_argument("--dryrun", action="store_true",
+                   help="validate every finetune argv through the real "
+                        "get_args; build/run nothing")
+    args = p.parse_args(argv)
+    if args.smoke:
+        args.steps = min(args.steps, 6)
+        args.batch = 4
+        args.finetune_epochs = min(args.finetune_epochs, 2)
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    cfg_path = os.path.join(args.log_dir, "config_finetune_tiny18.py")
+    with open(cfg_path, "w") as fh:
+        fh.write(TINY18_CONFIG)
+
+    img_dir = os.path.join(args.root, "images")
+    mask_dir = os.path.join(args.root, "masks")
+
+    def ft_argv(tag, pretrain_type, pretrain_path=""):
+        ft = [
+            "--run_id", f"dp_ft_{tag}_s{args.seed}",
+            "--log_dir", args.log_dir,
+            "--config", cfg_path,
+            "--img_dirs", img_dir, "--mask_dirs", mask_dir,
+            "--data_split_type", "FILENAME",
+            "--train_data_ratio", str(args.train_ratio),
+            "--img_height", str(args.img_size),
+            "--img_width", str(args.img_size),
+            "--batch_size", str(args.finetune_batch),
+            "--epochs", str(args.finetune_epochs),
+            "--pretrain_type", pretrain_type,
+            "--seed", str(args.seed),
+            "--visualize_freq", "0",
+        ]
+        if pretrain_path:
+            ft += ["--pretrain_path", pretrain_path]
+        return ft
+
+    legs = [("ref", "CP2"), ("pert", "CP2"), ("ours", "CP2"),
+            ("scratch", "NONE")]
+    if args.dryrun:
+        from cp2_tpu.train import finetune
+
+        for tag, pt in legs:
+            leg = ft_argv(tag, pt, "/dev/null/ckpt" if pt != "NONE" else "")
+            finetune.get_args(leg)
+            print("[dice_parity dryrun] finetune:", " ".join(leg))
+        print("[dice_parity dryrun] 4 finetune argvs OK")
+        return {"dryrun": True}
+
+    # ---- stages 1-3 run on the CPU backend (torch is CPU-only here and
+    # the rebuild's pretrain must see identical f32 conv numerics) -------
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    if not os.path.isdir(img_dir) or not os.listdir(img_dir):
+        from tools.make_synthetic_dataset import generate
+
+        print(f"generating corpus at {args.root} ...")
+        generate(args.root, args.img_size,
+                 {"train": 400, "val": 60, "test": 80}, args.seed)
+
+    files = sorted(
+        os.path.join(img_dir, f) for f in os.listdir(img_dir)
+        if f.startswith("train_"))
+    un_dir = os.path.join(args.root, "unlabeled")
+    if os.path.isdir(un_dir):
+        files += sorted(os.path.join(un_dir, f) for f in os.listdir(un_dir))
+    print(f"[dice_parity] {len(files)} pretrain images; building "
+          f"{args.steps} identical batches ...")
+    batches = make_corpus_batches(files, args.steps, args.batch, args.hw,
+                                  seed=1000 + args.seed)
+
+    from tests.test_real_model_trajectory import (
+        run_ours_real,
+        run_reference_real,
+    )
+
+    results = {"config": vars(args).copy()}
+    t0 = time.time()
+    print("[dice_parity] reference pretrain (torch CPU) ...")
+    ref = run_reference_real(batches, lr=args.lr, momentum_ema=args.ema)
+    results["ref_pretrain_seconds"] = time.time() - t0
+    t0 = time.time()
+    print("[dice_parity] reference+1e-6 pretrain (chaos control) ...")
+    pert = run_reference_real(batches, lr=args.lr, momentum_ema=args.ema,
+                              perturb=1e-6)
+    results["pert_pretrain_seconds"] = time.time() - t0
+    t0 = time.time()
+    print("[dice_parity] rebuild pretrain (JAX CPU) ...")
+    ours = run_ours_real(batches, ref, lr=args.lr, momentum_ema=args.ema)
+    results["ours_pretrain_seconds"] = time.time() - t0
+
+    ref_l = np.asarray(ref["losses"])
+    our_l = np.asarray(ours["losses"])
+    pert_l = np.asarray(pert["losses"])
+    results["pretrain_loss_first"] = float(ref_l[0])
+    results["pretrain_loss_last"] = float(ref_l[-1])
+    results["pretrain_mean_rel_dev_ours"] = float(
+        np.mean(np.abs(our_l - ref_l) / np.abs(ref_l)))
+    results["pretrain_mean_rel_dev_pert"] = float(
+        np.mean(np.abs(pert_l - ref_l) / np.abs(ref_l)))
+
+    ckpts = {}
+    ckpts["ref"] = save_cp2_checkpoint(
+        os.path.join(args.log_dir, "ckpt_ref"), args.steps,
+        ref["final_q"], ref["final_stats_q"])
+    ckpts["pert"] = save_cp2_checkpoint(
+        os.path.join(args.log_dir, "ckpt_pert"), args.steps,
+        pert["final_q"], pert["final_stats_q"])
+    state = ours["state"]
+    ckpts["ours"] = save_cp2_checkpoint(
+        os.path.join(args.log_dir, "ckpt_ours"), args.steps,
+        jax.device_get(state.params)["encoder"],
+        jax.device_get(state.batch_stats)["encoder"])
+    results["checkpoints"] = ckpts
+
+    # ---- stage 4: four identical finetune legs (subprocess each so the
+    # default TPU backend is used while this process stays on CPU) -------
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if args.device == "cpu":
+        env["DICE_PARITY_CPU"] = "1"
+    for tag, pt in legs:
+        leg = ft_argv(tag, pt, ckpts.get(tag, ""))
+        out_json = os.path.join(args.log_dir, f"metrics_{tag}.json")
+        print(f"[dice_parity] finetune leg '{tag}' ...")
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD, out_json] + leg,
+            cwd=REPO, env=env,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"finetune leg {tag} failed "
+                               f"(rc={proc.returncode})")
+        with open(out_json) as fh:
+            metrics = json.load(fh)
+        metrics["seconds"] = time.time() - t0
+        results[f"finetune_{tag}"] = metrics
+
+    d_ref = results["finetune_ref"]["test_Dice"]
+    d_ours = results["finetune_ours"]["test_Dice"]
+    d_pert = results["finetune_pert"]["test_Dice"]
+    results["dice_ours_minus_ref"] = d_ours - d_ref
+    results["dice_chaos_envelope"] = abs(d_pert - d_ref)
+    results["north_star_pass"] = bool(
+        abs(d_ours - d_ref) <= max(abs(d_pert - d_ref), 0.005))
+
+    os.makedirs(args.out, exist_ok=True)
+    name = "dice_parity_smoke.json" if args.smoke else "dice_parity.json"
+    with open(os.path.join(args.out, name), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps({k: v for k, v in results.items() if k != "config"},
+                     indent=1))
+    return results
+
+
+if __name__ == "__main__":
+    main()
