@@ -133,6 +133,7 @@ def test_dice_parity_dryrun():
     (tools/dice_parity.py --dryrun)."""
     from tools import dice_parity
 
-    for extra in ([], ["--train_ratio", "0.3", "--seed", "1"]):
+    for extra in ([], ["--train_ratio", "0.3", "--seed", "1"],
+                  ["--finetune_seed", "1", "--reuse_pretrain"]):
         out = dice_parity.main(["--dryrun"] + extra)
         assert out["dryrun"] is True

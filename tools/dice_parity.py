@@ -223,10 +223,19 @@ def main(argv=None):
     p.add_argument("--out", default=os.path.join(REPO, "reports", "quality"))
     p.add_argument("--smoke", action="store_true",
                    help="tiny everything (plumbing check)")
+    p.add_argument("--finetune_seed", type=int, default=None,
+                   help="seed for the finetune legs only (default: --seed); "
+                        "combine with --reuse_pretrain to measure the "
+                        "finetune-seed Dice spread of the SAME checkpoints")
+    p.add_argument("--reuse_pretrain", action="store_true",
+                   help="skip stages 1-3 and reuse the three checkpoints "
+                        "already in --log_dir (they must exist at --steps)")
     p.add_argument("--dryrun", action="store_true",
                    help="validate every finetune argv through the real "
                         "get_args; build/run nothing")
     args = p.parse_args(argv)
+    if args.finetune_seed is None:
+        args.finetune_seed = args.seed
     if args.smoke:
         args.steps = min(args.steps, 6)
         args.batch = 4
@@ -242,7 +251,7 @@ def main(argv=None):
 
     def ft_argv(tag, pretrain_type, pretrain_path=""):
         ft = [
-            "--run_id", f"dp_ft_{tag}_s{args.seed}",
+            "--run_id", f"dp_ft_{tag}_s{args.finetune_seed}",
             "--log_dir", args.log_dir,
             "--config", cfg_path,
             "--img_dirs", img_dir, "--mask_dirs", mask_dir,
@@ -253,7 +262,7 @@ def main(argv=None):
             "--batch_size", str(args.finetune_batch),
             "--epochs", str(args.finetune_epochs),
             "--pretrain_type", pretrain_type,
-            "--seed", str(args.seed),
+            "--seed", str(args.finetune_seed),
             "--visualize_freq", "0",
         ]
         if pretrain_path:
@@ -278,6 +287,19 @@ def main(argv=None):
 
     jax.config.update("jax_platforms", "cpu")
 
+    results = {"config": vars(args).copy()}
+    if args.reuse_pretrain:
+        ckpts = {tag: os.path.join(args.log_dir, f"ckpt_{tag}",
+                                   str(args.steps))
+                 for tag in ("ref", "pert", "ours")}
+        missing = [p for p in ckpts.values() if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"--reuse_pretrain: checkpoints missing: {missing}")
+        results["checkpoints"] = ckpts
+        print(f"[dice_parity] reusing pretrained checkpoints: {ckpts}")
+        return _run_finetunes(args, ckpts, results, ft_argv, legs)
+
     if not os.path.isdir(img_dir) or not os.listdir(img_dir):
         from tools.make_synthetic_dataset import generate
 
@@ -301,7 +323,6 @@ def main(argv=None):
         run_reference_real,
     )
 
-    results = {"config": vars(args).copy()}
     t0 = time.time()
     print("[dice_parity] reference pretrain (torch CPU) ...")
     ref = run_reference_real(batches, lr=args.lr, momentum_ema=args.ema)
@@ -340,15 +361,20 @@ def main(argv=None):
         jax.device_get(state.batch_stats)["encoder"])
     results["checkpoints"] = ckpts
 
-    # ---- stage 4: four identical finetune legs (subprocess each so the
-    # default TPU backend is used while this process stays on CPU) -------
+    return _run_finetunes(args, ckpts, results, ft_argv, legs)
+
+
+def _run_finetunes(args, ckpts, results, ft_argv, legs):
+    """Stage 4: four identical finetune legs (subprocess each so the
+    default TPU backend is used while the parent stays on CPU)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if args.device == "cpu":
         env["DICE_PARITY_CPU"] = "1"
     for tag, pt in legs:
         leg = ft_argv(tag, pt, ckpts.get(tag, ""))
-        out_json = os.path.join(args.log_dir, f"metrics_{tag}.json")
+        out_json = os.path.join(
+            args.log_dir, f"metrics_{tag}_s{args.finetune_seed}.json")
         print(f"[dice_parity] finetune leg '{tag}' ...")
         t0 = time.time()
         proc = subprocess.run(
@@ -373,6 +399,8 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     name = "dice_parity_smoke.json" if args.smoke else "dice_parity.json"
+    if args.finetune_seed != args.seed:
+        name = name.replace(".json", f"_fs{args.finetune_seed}.json")
     with open(os.path.join(args.out, name), "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps({k: v for k, v in results.items() if k != "config"},
