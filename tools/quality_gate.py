@@ -57,6 +57,13 @@ def main(argv=None):
                    help="finetune label fraction (reference sweeps "
                         "0.3/0.6/1.0)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrain_seed", type=int, default=None,
+                   help="seed of the pretrain checkpoint to train/reuse; "
+                        "defaults to --seed. Setting it lets finetune-seed "
+                        "replicates share one pretrained checkpoint, the "
+                        "same shape as the reference's seed sweeps "
+                        "(scripts/polyp.sh finetunes seeds 0-2 from one "
+                        "pretrain run)")
     p.add_argument("--device", default=None,
                    help="'cpu' forces the CPU backend (smoke)")
     p.add_argument("--log_dir", default="/tmp/quality_gate")
@@ -105,12 +112,18 @@ def main(argv=None):
     from cp2_tpu.train import finetune, pretrain
 
     results = {"config": vars(args).copy()}
+    pretrain_seed = (args.seed if args.pretrain_seed is None
+                     else args.pretrain_seed)
     # ratio-tag the finetune run ids so sweep legs do not share checkpoint
     # directories (the pretrain leg is ratio-independent and stays shared)
-    run_tag = f"s{args.seed}"
+    run_tag = f"s{pretrain_seed}"
     if args.n_unlabeled:
         run_tag = f"u{args.n_unlabeled}_{run_tag}"
-    ft_tag = run_tag if args.train_ratio == 1.0 else f"r{args.train_ratio}_{run_tag}"
+    ft_tag = f"s{args.seed}"
+    if args.n_unlabeled:
+        ft_tag = f"u{args.n_unlabeled}_{ft_tag}"
+    if args.train_ratio != 1.0:
+        ft_tag = f"r{args.train_ratio}_{ft_tag}"
 
     # ---- 1. CP2 pretrain on the unlabeled train images -------------------
     pre_dir = os.path.join(args.log_dir, f"qg_pretrain_{run_tag}")
@@ -149,7 +162,7 @@ def main(argv=None):
         "--batch-size", str(args.pretrain_batch),
         "--epochs", str(args.pretrain_epochs),
         "--pretrain_from_scratch", "--cap_queue",
-        "--seed", str(args.seed),
+        "--seed", str(pretrain_seed),
         "--scalar-freq", "10",
         # crash/wedge insurance: periodic saves + resume-from-latest make
         # the gate idempotent — relaunching the same command continues
