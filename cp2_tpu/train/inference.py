@@ -74,19 +74,29 @@ def slide_inference(
 
 
 def init_segmentor(
-    config_path: str,
+    config_path,
     checkpoint_path: Optional[str] = None,
     num_classes: Optional[int] = None,
+    dtype=None,
 ):
     """Build a segmentor + variables from a config file and checkpoint.
 
     Parity with mmseg ``init_segmentor`` (apis/inference.py:11-45).
+    ``config_path`` may also be a model config dict (or a Config), and
+    ``dtype`` overrides the model compute dtype (bf16 for serving).
     Returns (model, variables).
     """
-    cfg = Config.fromfile(config_path)
+    cfg = (Config.fromfile(config_path) if isinstance(config_path, str)
+           else config_path)
+    model_cfg = dict(cfg.model if hasattr(cfg, "model") else cfg)
+    if "model" in model_cfg and "type" not in model_cfg:
+        model_cfg = dict(model_cfg["model"])
     if num_classes is not None:
-        cfg.model.decode_head.num_classes = num_classes
-    model = build_segmentor(cfg)
+        model_cfg["decode_head"] = dict(
+            model_cfg["decode_head"], num_classes=num_classes)
+    if dtype is not None:
+        model_cfg["dtype"] = dtype
+    model = build_segmentor(model_cfg)
     sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
     if checkpoint_path:
