@@ -121,10 +121,16 @@ def test_quality_gate_dryrun():
     from tools import quality_gate
 
     for extra in ([], ["--n_unlabeled", "100"],
-                  ["--train_ratio", "0.3", "--seed", "1"]):
+                  ["--train_ratio", "0.3", "--seed", "1"],
+                  ["--seed", "2", "--pretrain_seed", "0",
+                   "--reuse_pretrain"]):
         out = quality_gate.main(["--dryrun"] + extra)
         assert out["dryrun"] is True
         assert out["pre_args"].pretrain_type.name == "CP2"
+    # finetune-seed replicates share the pretrain checkpoint dir but not
+    # the finetune run ids
+    assert out["pre_args"].seed == 0
+    assert out["pre_args"].run_id == "qg_pretrain_s0"
 
 
 def test_dice_parity_dryrun():
