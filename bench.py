@@ -165,10 +165,17 @@ def main():
     # cost_analysis below — calling the compiled object avoids paying it
     # twice (the XLA compile itself hits the persistent cache either way).
     t_lower = time.perf_counter()
+    # BENCH_COMPILER_OPTIONS="k=v,k=v" forwards XLA backend options to this
+    # one compile (e.g. xla_tpu_scoped_vmem_limit_kib=65536) — the knob used
+    # for the VMEM-budget sweep recorded in BASELINE.md; unset = defaults.
+    copts = None
+    copts_env = os.environ.get("BENCH_COMPILER_OPTIONS", "")
+    if copts_env:
+        copts = dict(kv.split("=", 1) for kv in copts_env.split(",") if kv)
     jitted = (
         jax.jit(step_fn, donate_argnums=0)
         .lower(state, raw, jax.random.PRNGKey(42))
-        .compile()
+        .compile(compiler_options=copts)
     )
     print(
         f"bench: trace+lower+compile {time.perf_counter() - t_lower:.1f}s",
