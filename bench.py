@@ -171,7 +171,17 @@ def main():
     copts = None
     copts_env = os.environ.get("BENCH_COMPILER_OPTIONS", "")
     if copts_env:
-        copts = dict(kv.split("=", 1) for kv in copts_env.split(",") if kv)
+        copts = {}
+        for kv in copts_env.split(","):
+            kv = kv.strip()
+            if not kv:
+                continue
+            if "=" not in kv:
+                raise SystemExit(
+                    f"bad BENCH_COMPILER_OPTIONS entry: {kv!r} (want key=value)"
+                )
+            k, v = kv.split("=", 1)
+            copts[k.strip()] = v.strip()
     jitted = (
         jax.jit(step_fn, donate_argnums=0)
         .lower(state, raw, jax.random.PRNGKey(42))

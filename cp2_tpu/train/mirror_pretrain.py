@@ -42,6 +42,9 @@ def get_args(argv=None):
                              '(decode+resize once, mmap after)')
     parser.add_argument('--fast_dev_run', action='store_true')
     parser.add_argument('--use_profiler', action='store_true')
+    parser.add_argument('--prefetch_depth', default=2, type=int,
+                        help='device-resident input batches staged ahead '
+                             '(0 disables the background H2D thread)')
 
     parser.add_argument('-x', '--img_x_size', type=int, default=512)
     parser.add_argument('-y', '--img_y_size', type=int, default=512)
@@ -269,12 +272,27 @@ def main(args):
         for epoch in range(args.epochs):
             confusion = ConfusionState.create(args.num_classes)
             metrics = {}
-            for i, (b, m) in enumerate(zip(
+            pairs = zip(
                 train_loader.epoch_iterator(epoch),
                 mirror_loader.epoch_iterator(epoch),
-            )):
-                frames = shard_batch(b["image"], mesh)
-                mirror_frames = shard_batch(m["image"], mesh)
+            )
+
+            def _stage(pair):
+                b, m = pair
+                return (shard_batch(b["image"], mesh),
+                        shard_batch(m["image"], mesh))
+
+            # background H2D staging, same as the pretrain/finetune CLIs
+            # (--prefetch_depth): decode, transfer of batch i+1, and step i
+            # overlap instead of serializing on the single Python thread
+            if args.prefetch_depth > 0:
+                from cp2_tpu.data.prefetch import DevicePrefetcher
+
+                staged = DevicePrefetcher(pairs, _stage,
+                                          depth=args.prefetch_depth)
+            else:
+                staged = map(_stage, pairs)
+            for i, (frames, mirror_frames) in enumerate(staged):
                 if step_timer is not None:
                     step_timer.start()
                 state, confusion, metrics = jit_train(
@@ -285,6 +303,8 @@ def main(args):
                     step_timer.stop(probe=metrics["train_loss"])
                 step += 1
                 if args.fast_dev_run and i >= 1:
+                    if hasattr(staged, "close"):
+                        staged.close()  # stop the prefetch thread promptly
                     break
             val_losses = []
             vconf = ConfusionState.create(args.num_classes)

@@ -87,4 +87,4 @@ def test_example_iter_train_config_parses():
     # the documented tools/train.py example config must stay buildable
     cfg = Config.fromfile(os.path.join(CONFIG_DIR, "example_iter_train.py"))
     assert cfg.model.type == "EncoderDecoder"
-    assert cfg.lr_config["policy"] == "poly" or cfg.lr_config.policy == "poly"
+    assert cfg.lr_config["policy"] == "poly"
