@@ -228,6 +228,7 @@ def main():
     # real JPEGs from disk — the number a user sees with this host CPU.
     # The device-only figure above excludes the input pipeline entirely.
     e2e_ips = e2e_cached_ips = None
+    e2e_detail = e2e_cached_detail = None
     # the e2e phases are optional color on the one mandatory JSON line; if a
     # cold compile already burned most of an external time budget, skip them
     # rather than risk the whole run being killed before it prints.
@@ -245,14 +246,23 @@ def main():
         and scan_k == 1  # reuses the already-compiled single-step program
         and os.environ.get("BENCH_E2E", "1") == "1"
     ):
-        e2e_steps = int(os.environ.get("BENCH_E2E_STEPS", "6"))
+        # r4 postmortem (VERDICT weak #2): 6-step single-shot phases produced
+        # a bit-identical 77.45 across rounds and a cached number BELOW the
+        # uncached one, with no way to tell signal from tunnel noise.  Each
+        # phase now times BENCH_E2E_REPEATS independent segments of
+        # BENCH_E2E_STEPS steps and reports the median with per-segment
+        # rates + durations in the JSON, so a noisy segment is visible
+        # instead of silently becoming the headline.
+        e2e_steps = int(os.environ.get("BENCH_E2E_STEPS", "20"))
+        e2e_repeats = int(os.environ.get("BENCH_E2E_REPEATS", "3"))
         # the jitted step donates its state argument, so each e2e phase must
         # hand the live state to the next one (the original buffers are gone
         # after the phase's first call); a phase failure must not lose the
         # device-only headline either, hence the per-phase guard.
         try:
-            e2e_ips, state = _e2e_native_loader_ips(
-                jitted, state, batch, base, steps=e2e_steps)
+            e2e_ips, e2e_detail, state = _e2e_native_loader_ips(
+                jitted, state, batch, base, steps=e2e_steps,
+                repeats=e2e_repeats)
         except Exception as e:
             print(f"bench: e2e phase failed: {e!r}", file=sys.stderr)
         # same stream through the raw-frame cache (decode+resize amortized
@@ -269,9 +279,11 @@ def main():
             )
         else:
             try:
-                e2e_cached_ips, state = _e2e_native_loader_ips(
-                    jitted, state, batch, base, steps=e2e_steps,
-                    raw_cache=True,
+                e2e_cached_ips, e2e_cached_detail, state = (
+                    _e2e_native_loader_ips(
+                        jitted, state, batch, base, steps=e2e_steps,
+                        repeats=e2e_repeats, raw_cache=True,
+                    )
                 )
             except Exception as e:
                 print(f"bench: e2e raw-cache phase failed: {e!r}",
@@ -290,6 +302,8 @@ def main():
                 "device_ips": round(ips_per_chip, 2),
                 "e2e_ips": e2e_ips,
                 "e2e_cached_ips": e2e_cached_ips,
+                "e2e_detail": e2e_detail,
+                "e2e_cached_detail": e2e_cached_detail,
                 "mfu": mfu,
                 "model_flops_per_step": flops_per_call,
             }
@@ -317,14 +331,17 @@ def _peak_bf16_flops(device) -> float | None:
 
 
 def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
-                           raw_cache: bool = False):
+                           repeats: int = 3, raw_cache: bool = False):
     """Drive the jitted step from the native JPEG decode pool (3 streams).
 
     ``raw_cache=True`` attaches the raw-frame cache (steady-state epochs are
     mmap reads, not decodes); the one-time build happens before timing.
 
-    Returns ``(images_per_sec_per_chip, final_state)`` — the step donates its
-    state argument, so the caller must continue from the returned state."""
+    Times ``repeats`` independent back-to-back segments of ``steps`` steps.
+    Returns ``(median_ips_per_chip, detail, final_state)`` where ``detail``
+    carries per-segment rates/durations and their spread — the step donates
+    its state argument, so the caller must continue from the returned
+    state."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -337,9 +354,9 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
         )
 
         if not native_available():
-            return None, state
+            return None, None, state
     except Exception:
-        return None, state
+        return None, None, state
     from PIL import Image
 
     data_dir = os.path.join("/tmp", f"cp2_bench_jpegs_{base}")
@@ -394,15 +411,27 @@ def _e2e_native_loader_ips(jitted, state, batch, base, *, steps: int,
         for _ in range(warm_steps):
             state, metrics = jitted(state, next(stream), base_key)
         jax.block_until_ready(metrics["loss"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = jitted(state, next(stream), base_key)
-        jax.block_until_ready(metrics["loss"])
-        dt = time.perf_counter() - t0
+        n_chips = max(jax.device_count(), 1)
+        seg_secs, seg_ips = [], []
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = jitted(state, next(stream), base_key)
+            jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - t0
+            seg_secs.append(round(dt, 3))
+            seg_ips.append(round(batch * steps / dt / n_chips, 2))
     finally:
         stream.close()
-    n_chips = max(jax.device_count(), 1)
-    return round(batch * steps / dt / n_chips, 2), state
+    median_ips = sorted(seg_ips)[len(seg_ips) // 2]
+    detail = {
+        "steps_per_segment": steps,
+        "segments": len(seg_ips),
+        "ips_segments": seg_ips,
+        "seconds_segments": seg_secs,
+        "ips_spread": round(max(seg_ips) - min(seg_ips), 2),
+    }
+    return median_ips, detail, state
 
 
 if __name__ == "__main__":

@@ -76,18 +76,28 @@ def make_flax_model():
 
 
 def run_reference_real(batches, *, lr=LR, momentum_ema=0.999,
-                       perturb: float = 0.0):
+                       perturb: float = 0.0, perturb_seed=None,
+                       torch_kw=None, dim=DIM, queue_np=None):
     """Reference builder.MODEL.forward_cp2 around the REAL torch twin for
     len(batches) SGD steps.  Returns losses, t=0 and final extractions.
 
-    ``perturb`` multiplies the stem kernel by (1 + perturb) BEFORE the
-    q→k state is captured — used to measure the reference's OWN
-    trajectory sensitivity to float-level noise (the chaos envelope a
-    cross-framework rebuild must be judged against)."""
+    ``perturb`` multiplies one kernel by (1 + perturb) BEFORE the q→k
+    state is captured — used to measure the reference's OWN trajectory
+    sensitivity to float-level noise (the chaos envelope a
+    cross-framework rebuild must be judged against).  ``perturb_seed``
+    selects WHICH conv kernel is perturbed (None = the stem, the
+    historical choice), so independent chaos-envelope replicates draw
+    different perturbation directions (VERDICT r4 weak #3: n=1 envelope).
+
+    ``torch_kw``/``dim``/``queue_np`` default to the tiny twin used by the
+    in-suite pins; tools/dice_parity.py passes the flagship
+    Bottleneck-50 + ASPP-128 configuration through the same code path."""
+    torch_kw = TORCH_KW if torch_kw is None else torch_kw
+    queue_np = _queue_np() if queue_np is None else queue_np
     builder = import_reference_builder()
     model = build_reference_model(
-        builder, dim=DIM, stride=16, seed=SEED, queue_np=_queue_np(),
-        segmentor_factory=make_real_segmentor_factory(SEED, **TORCH_KW),
+        builder, dim=dim, stride=16, seed=SEED, queue_np=queue_np,
+        segmentor_factory=make_real_segmentor_factory(SEED, **torch_kw),
         pretrain_type=builder.PretrainType.CP2,
         mapping_type=builder.MappingType.CP2,
         m=momentum_ema,
@@ -95,7 +105,15 @@ def run_reference_real(batches, *, lr=LR, momentum_ema=0.999,
     assert model.output_stride == 16 and model.backbone_output_stride == 16
     if perturb:
         with torch.no_grad():
-            model.encoder_q.backbone.conv1.conv.weight.mul_(1.0 + perturb)
+            if perturb_seed is None:
+                model.encoder_q.backbone.conv1.conv.weight.mul_(1.0 + perturb)
+            else:
+                kernels = [
+                    p for name, p in
+                    model.encoder_q.named_parameters()
+                    if p.dim() == 4
+                ]
+                kernels[perturb_seed % len(kernels)].mul_(1.0 + perturb)
     params0, stats_q0 = extract_segmentor_trees(model.encoder_q)
     _, stats_k0 = extract_segmentor_trees(model.encoder_k)
     opt = torch.optim.SGD(
@@ -128,15 +146,21 @@ def run_reference_real(batches, *, lr=LR, momentum_ema=0.999,
     }
 
 
-def run_ours_real(batches, ref0, *, lr=LR, momentum_ema=0.999):
+def run_ours_real(batches, ref0, *, lr=LR, momentum_ema=0.999,
+                  flax_cfg=None, dim=DIM, queue_np=None):
     """The rebuild's real SSLEncoder + jitted pretrain step from the torch
     twin's exact t=0 state."""
+    flax_cfg = FLAX_CFG if flax_cfg is None else flax_cfg
+    queue_np = _queue_np() if queue_np is None else queue_np
     hp = SSLHyperParams.for_variant(
-        PretrainType.CP2, dim=DIM, queue_len=K, momentum=momentum_ema,
+        PretrainType.CP2, dim=dim, queue_len=queue_np.shape[0],
+        momentum=momentum_ema,
     )
-    model = make_flax_model()
+    model = SSLEncoder(model_cfg=flax_cfg, pretrain_type=PretrainType.CP2,
+                       dim=dim)
     tx = make_optimizer("sgd", lr)
-    sample = jnp.zeros((BATCH, HW, HW, 3), jnp.float32)
+    batch_n, hw = batches[0]["img_a"].shape[0], batches[0]["img_a"].shape[1]
+    sample = jnp.zeros((batch_n, hw, hw, 3), jnp.float32)
     state = create_pretrain_state(
         jax.random.PRNGKey(0), model, tx, hp, sample,
         init_fn=lambda m, r, x: m.init(r, x, method="init_all"),
@@ -152,9 +176,9 @@ def run_ours_real(batches, ref0, *, lr=LR, momentum_ema=0.999):
             jax.device_get(state.ema_batch_stats)["encoder"],
             ref0["stats_k0"])},
         opt_state=tx.init(params),
-        queue=jnp.asarray(_queue_np()),
+        queue=jnp.asarray(queue_np),
     )
-    os_ = output_stride_of(FLAX_CFG)
+    os_ = output_stride_of(flax_cfg)
     assert os_ == 16
     step = jax.jit(make_pretrain_step(model, tx, hp, os_, os_,
                                       metrics_level=1))

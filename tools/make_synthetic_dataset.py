@@ -95,7 +95,105 @@ def make_sample(seed: int, size: int) -> tuple:
     return (img * 255).astype(np.uint8), mask.astype(np.uint8) * 255
 
 
-def generate(out: str, size: int, counts: dict, seed: int = 0) -> None:
+def _fold_mask(rng: np.random.RandomState, size: int) -> np.ndarray:
+    """Elongated smooth band (mucosal-fold stand-in): a thickened random
+    quadratic curve.  Locally its edges look like blob edges."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    theta = rng.uniform(0, np.pi)
+    c, s = np.cos(theta), np.sin(theta)
+    u = xx * c + yy * s
+    v = -xx * s + yy * c
+    v0 = rng.uniform(0.15, 0.85)
+    a = rng.uniform(-0.8, 0.8)
+    b = rng.uniform(-0.5, 0.5)
+    width = rng.uniform(0.015, 0.05)
+    d = np.abs(v - (v0 + a * (u - 0.5) ** 2 + b * (u - 0.5)))
+    return d < width
+
+
+def make_sample_v2(seed: int, size: int) -> tuple:
+    """Corpus v2 — HARD variant (VERDICT r4 next #2).
+
+    v1 saturates: 400 labels train a from-scratch model to Dice 0.93, so
+    SSL initialization has no headroom and 5 of 7 quality-gate rows sat
+    in a regime the reference's own experiments avoid.  v2 keeps the
+    polyp-ish layout but removes the shortcuts, targeting from-scratch
+    ratio-1.0 Dice ~0.6-0.75:
+
+    * **low contrast** — target texture blends 60% into the background
+      with a tiny brightness offset and a soft alpha edge;
+    * **textured distractors** — star-convex blobs filled with
+      *background-frequency* texture (unlabeled): "any blob" is no
+      longer the answer, the texture frequency cue is;
+    * **folds** — elongated curved bands whose edges locally mimic blob
+      outlines (shape ambiguity);
+    * **occluders/highlights** — specular-like bright streaks crossing
+      target and background alike (nuisance lighting, mask unchanged);
+    * **illumination gradient** — strong smooth per-image shading, so
+      absolute intensity is uninformative.
+    """
+    rng = np.random.RandomState(seed)
+    bg = _smooth_noise(rng, size, grid=rng.randint(4, 8))
+    bg = np.clip(bg + rng.randn(size, size, 3).astype(np.float32) * 0.04,
+                 0, 1)
+
+    # folds: background structure with blob-like local edges
+    for _ in range(rng.randint(1, 4)):
+        fm = _fold_mask(rng, size)
+        fold_tex = np.clip(bg + rng.uniform(-0.10, 0.10), 0, 1)
+        bg = np.where(fm[..., None], fold_tex, bg)
+
+    # textured distractors: same geometry as targets, background-family
+    # LOW-frequency texture (the only reliable target cue is frequency)
+    for _ in range(rng.randint(1, 4)):
+        dm = _blob_mask(rng, size)
+        dtex = _smooth_noise(rng, size, grid=rng.randint(4, 8))
+        dtex = np.clip(0.5 * dtex + 0.5 * bg + rng.uniform(-0.05, 0.05, 3),
+                       0, 1)
+        bg = np.where(dm[..., None], dtex, bg)
+
+    mask = np.zeros((size, size), bool)
+    img = bg
+    for _ in range(rng.randint(1, 3)):
+        m = _blob_mask(rng, size)
+        tex = _smooth_noise(rng, size, grid=rng.randint(12, 24))
+        tex = np.clip(0.40 * tex + 0.60 * bg + rng.uniform(-0.05, 0.05, 3),
+                      0, 1)
+        # soft alpha edge: erode-ish feather via distance-free blending of
+        # the boolean mask smoothed by a box filter
+        mf = m.astype(np.float32)
+        k = max(2, size // 53)
+        pad = np.pad(mf, k, mode="edge")
+        sm = sum(
+            pad[dy:dy + size, dx:dx + size]
+            for dy in range(0, 2 * k + 1, k)
+            for dx in range(0, 2 * k + 1, k)
+        ) / 9.0
+        alpha = np.clip(sm, 0, 1)[..., None]
+        img = img * (1 - alpha) + tex * alpha
+        mask |= m
+
+    # specular streaks (over everything, mask unchanged)
+    for _ in range(rng.randint(0, 3)):
+        hm = _fold_mask(rng, size)
+        img = np.where(hm[..., None], np.clip(img + 0.35, 0, 1), img)
+
+    # illumination gradient + vignette
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    gdir = rng.uniform(0, 2 * np.pi)
+    grad = (xx - 0.5) * np.cos(gdir) + (yy - 0.5) * np.sin(gdir)
+    shade = 1.0 + rng.uniform(0.25, 0.45) * grad
+    shade -= rng.uniform(0.1, 0.3) * ((xx - 0.5) ** 2 + (yy - 0.5) ** 2)
+    img = np.clip(img * shade[..., None], 0, 1)
+
+    img = np.clip(img + rng.randn(size, size, 3).astype(np.float32) * 0.03,
+                  0, 1)
+    return (img * 255).astype(np.uint8), mask.astype(np.uint8) * 255
+
+
+def generate(out: str, size: int, counts: dict, seed: int = 0,
+             version: int = 1) -> None:
+    sample_fn = make_sample_v2 if version == 2 else make_sample
     img_dir = os.path.join(out, "images")
     mask_dir = os.path.join(out, "masks")
     os.makedirs(img_dir, exist_ok=True)
@@ -103,13 +201,14 @@ def generate(out: str, size: int, counts: dict, seed: int = 0) -> None:
     offsets = {"train": 0, "val": 1_000_000, "test": 2_000_000}
     for split, n in counts.items():
         for i in range(n):
-            img, mask = make_sample(seed + offsets[split] + i, size)
+            img, mask = sample_fn(seed + offsets[split] + i, size)
             stem = f"{split}_{i:04d}.png"
             Image.fromarray(img).save(os.path.join(img_dir, stem))
             Image.fromarray(mask).save(os.path.join(mask_dir, stem))
 
 
-def generate_unlabeled(out: str, size: int, n: int, seed: int = 0) -> str:
+def generate_unlabeled(out: str, size: int, n: int, seed: int = 0,
+                       version: int = 1) -> str:
     """Pretrain-only pool: images WITHOUT masks, in a sibling dir.
 
     Mirrors the reference's pretraining regime — a large unlabeled pool
@@ -119,10 +218,11 @@ def generate_unlabeled(out: str, size: int, n: int, seed: int = 0) -> str:
     FILENAME pretrain discovery picks them up; the directory is outside
     ``images/`` so the finetune CLIs never see them.
     """
+    sample_fn = make_sample_v2 if version == 2 else make_sample
     un_dir = os.path.join(out, "unlabeled")
     os.makedirs(un_dir, exist_ok=True)
     for i in range(n):
-        img, _ = make_sample(seed + 3_000_000 + i, size)
+        img, _ = sample_fn(seed + 3_000_000 + i, size)
         Image.fromarray(img).save(
             os.path.join(un_dir, f"train_u{i:05d}.png")
         )
@@ -138,17 +238,21 @@ def main(argv=None):
     p.add_argument("--n_test", type=int, default=80)
     p.add_argument("--n_unlabeled", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--version", type=int, default=1, choices=(1, 2),
+                   help="2 = hard corpus (distractors, low contrast, "
+                        "folds, occluders; VERDICT r4 next #2)")
     args = p.parse_args(argv)
     generate(
         args.out, args.size,
         {"train": args.n_train, "val": args.n_val, "test": args.n_test},
-        args.seed,
+        args.seed, version=args.version,
     )
     if args.n_unlabeled:
-        generate_unlabeled(args.out, args.size, args.n_unlabeled, args.seed)
+        generate_unlabeled(args.out, args.size, args.n_unlabeled, args.seed,
+                           version=args.version)
     print(f"wrote {args.n_train}+{args.n_val}+{args.n_test}"
           f"+{args.n_unlabeled}u "
-          f"{args.size}x{args.size} samples to {args.out}")
+          f"{args.size}x{args.size} v{args.version} samples to {args.out}")
 
 
 if __name__ == "__main__":
