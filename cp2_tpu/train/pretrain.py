@@ -205,6 +205,12 @@ def main(args):
 
     distributed_initialize()
 
+    # amortize the fused-step compile across CLI invocations (sweep legs
+    # recompile identical programs otherwise; CP2_JAX_CACHE_DIR overrides)
+    from cp2_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import optax

@@ -88,3 +88,34 @@ def test_example_iter_train_config_parses():
     cfg = Config.fromfile(os.path.join(CONFIG_DIR, "example_iter_train.py"))
     assert cfg.model.type == "EncoderDecoder"
     assert cfg.lr_config["policy"] == "poly"
+
+
+def test_persistent_compilation_cache_writes(tmp_path):
+    """enable_persistent_compilation_cache points JAX at an on-disk cache
+    that actually receives entries (the train CLIs call this so sweep legs
+    stop repaying identical fused-step compiles)."""
+    from cp2_tpu.utils import enable_persistent_compilation_cache
+
+    cache = str(tmp_path / "jax_cache")
+    got = enable_persistent_compilation_cache(cache, min_compile_seconds=0)
+    assert got == cache
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x) @ x.T
+
+    try:
+        f(jnp.ones((17, 5))).block_until_ready()
+        assert os.listdir(cache), "no cache entries written"
+    finally:
+        # don't leave every later jit in the suite writing cache entries
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 3600)
+
+
+def test_persistent_compilation_cache_env_disable(monkeypatch, tmp_path):
+    from cp2_tpu.utils import enable_persistent_compilation_cache
+
+    monkeypatch.setenv("CP2_JAX_CACHE_DIR", "")
+    assert enable_persistent_compilation_cache() is None
+    monkeypatch.setenv("CP2_JAX_CACHE_DIR", str(tmp_path / "envcache"))
+    assert enable_persistent_compilation_cache() == str(tmp_path / "envcache")

@@ -77,6 +77,10 @@ def main(argv=None):
                         "under <log_dir>/qg_pretrain_<seed> (resume after "
                         "an interrupted run)")
     p.add_argument("--out", default=os.path.join(REPO, "reports", "quality"))
+    p.add_argument("--corpus_version", type=int, default=1, choices=(1, 2),
+                   help="synthetic-corpus generation version (2 = hard "
+                        "corpus, VERDICT r4 next #2); also tags the output "
+                        "JSON so v2 rows never clobber v1 artifacts")
     p.add_argument("--dryrun", action="store_true",
                    help="build + validate every CLI argv through the real "
                         "get_args (flag-rot guard), generate nothing, run "
@@ -96,7 +100,8 @@ def main(argv=None):
         print(f"generating corpus at {args.root} ...")
         generate(args.root, args.size,
                  {"train": args.n_train, "val": args.n_val,
-                  "test": args.n_test}, args.seed)
+                  "test": args.n_test}, args.seed,
+                 version=args.corpus_version)
 
     pretrain_dirs = [img_dir]
     if args.n_unlabeled:
@@ -106,7 +111,7 @@ def main(argv=None):
             print(f"generating {args.n_unlabeled} unlabeled pretrain "
                   f"images at {un_dir} ...")
             generate_unlabeled(args.root, args.size, args.n_unlabeled,
-                               args.seed)
+                               args.seed, version=args.corpus_version)
         pretrain_dirs.append(un_dir)
 
     from cp2_tpu.train import finetune, pretrain
@@ -257,11 +262,13 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     out_path = os.path.join(args.out, "quality_gate.json")
     # keep one file per pool/ratio/seed so sweeps do not clobber each other
-    if args.train_ratio != 1.0 or args.seed != 0 or args.n_unlabeled:
+    if (args.train_ratio != 1.0 or args.seed != 0 or args.n_unlabeled
+            or args.corpus_version != 1):
         pool = f"u{args.n_unlabeled}_" if args.n_unlabeled else ""
+        ver = f"v{args.corpus_version}_" if args.corpus_version != 1 else ""
         out_path = os.path.join(
             args.out,
-            f"quality_gate_{pool}r{args.train_ratio}_s{args.seed}.json",
+            f"quality_gate_{ver}{pool}r{args.train_ratio}_s{args.seed}.json",
         )
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
