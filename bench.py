@@ -193,15 +193,20 @@ def main():
     )
 
     # XLA's own FLOP estimate for the compiled step -> MFU against the
-    # chip's bf16 peak (VERDICT r2: ground the perf claim in measurables)
+    # chip's bf16 peak (VERDICT r2: ground the perf claim in measurables).
+    # Only meaningful at scan_k == 1: cost_analysis counts a lax.scan body
+    # ONCE regardless of trip count (measured r5: the 8-step scan program
+    # reported the single-step FLOPs, making the naive MFU 8x too low), so
+    # the scan variant reports throughput without MFU.
     flops_per_call = None
-    try:
-        cost = jitted.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        flops_per_call = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    if scan_k == 1:
+        try:
+            cost = jitted.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0] if cost else {}
+            flops_per_call = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
 
     base_key = jax.random.PRNGKey(42)  # per-step fold_in happens in-step
     for i in range(warmup):
