@@ -140,6 +140,18 @@ def test_dice_parity_dryrun():
     from tools import dice_parity
 
     for extra in ([], ["--train_ratio", "0.3", "--seed", "1"],
-                  ["--finetune_seed", "1", "--reuse_pretrain"]):
+                  ["--finetune_seed", "1", "--reuse_pretrain"],
+                  # r5: flagship arch + n>=3 chaos envelope + TPU ours-leg
+                  ["--arch", "r50", "--n_pert", "3", "--hw", "224",
+                   "--batch", "8", "--corpus_size", "256",
+                   "--img_size", "352", "--ours_device", "default"]):
         out = dice_parity.main(["--dryrun"] + extra)
         assert out["dryrun"] is True
+
+
+def test_quality_gate_dryrun_corpus_v2():
+    from tools import quality_gate
+
+    out = quality_gate.main(["--dryrun", "--corpus_version", "2",
+                             "--n_unlabeled", "1600"])
+    assert out["dryrun"] is True
