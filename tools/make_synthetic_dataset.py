@@ -204,7 +204,16 @@ def make_sample_v3(seed: int, size: int) -> tuple:
                           distractor_grid=(7, 14), n_distractors=(2, 6))
 
 
-_SAMPLE_FNS = {1: make_sample, 2: make_sample_v2, 3: make_sample_v3}
+def make_sample_v4(seed: int, size: int) -> tuple:
+    """Corpus v4: difficulty interpolation between v2 (measured
+    from-scratch ratio-1.0 Dice 0.804) and v3 (0.515), targeting the
+    0.6-0.75 discriminating band VERDICT r4 asks for."""
+    return make_sample_v2(seed, size, blend=0.35, offset=0.045,
+                          distractor_grid=(5, 10), n_distractors=(1, 5))
+
+
+_SAMPLE_FNS = {1: make_sample, 2: make_sample_v2, 3: make_sample_v3,
+               4: make_sample_v4}
 
 
 def generate(out: str, size: int, counts: dict, seed: int = 0,
@@ -254,10 +263,12 @@ def main(argv=None):
     p.add_argument("--n_test", type=int, default=80)
     p.add_argument("--n_unlabeled", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--version", type=int, default=1, choices=(1, 2, 3),
+    p.add_argument("--version", type=int, default=1, choices=(1, 2, 3, 4),
                    help="2 = hard corpus (distractors, low contrast, "
                         "folds, occluders; VERDICT r4 next #2); 3 = "
-                        "harder contrast/frequency calibration of 2")
+                        "harder contrast/frequency calibration of 2; 4 = "
+                        "difficulty interpolation of 2 and 3 (the gate "
+                        "corpus)")
     args = p.parse_args(argv)
     generate(
         args.out, args.size,

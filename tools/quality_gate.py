@@ -77,7 +77,8 @@ def main(argv=None):
                         "under <log_dir>/qg_pretrain_<seed> (resume after "
                         "an interrupted run)")
     p.add_argument("--out", default=os.path.join(REPO, "reports", "quality"))
-    p.add_argument("--corpus_version", type=int, default=1, choices=(1, 2),
+    p.add_argument("--corpus_version", type=int, default=1,
+                   choices=(1, 2, 3, 4),
                    help="synthetic-corpus generation version (2 = hard "
                         "corpus, VERDICT r4 next #2); also tags the output "
                         "JSON so v2 rows never clobber v1 artifacts")
