@@ -315,6 +315,12 @@ def main(argv=None):
     p.add_argument("--reuse_pretrain", action="store_true",
                    help="skip stages 1-3 and reuse the three checkpoints "
                         "already in --log_dir (they must exist at --steps)")
+    p.add_argument("--pretrain_only", action="store_true",
+                   help="run stages 1-3 (all pretrain legs + checkpoint "
+                        "save) and stop before the finetunes — pairs with "
+                        "--reuse_pretrain so the CPU-bound torch legs and "
+                        "the TPU finetune legs can be scheduled separately "
+                        "on a one-core host")
     p.add_argument("--dryrun", action="store_true",
                    help="validate every finetune argv through the real "
                         "get_args; build/run nothing")
@@ -392,6 +398,12 @@ def main(argv=None):
         if missing:
             raise FileNotFoundError(
                 f"--reuse_pretrain: checkpoints missing: {missing}")
+        part = os.path.join(args.log_dir, "pretrain_stage.json")
+        if os.path.exists(part):  # merge the --pretrain_only stage metrics
+            with open(part) as fh:
+                stage = json.load(fh)
+            stage.pop("config", None)
+            results.update(stage)
         results["checkpoints"] = ckpts
         print(f"[dice_parity] reusing pretrained checkpoints: {ckpts}")
         return _run_finetunes(args, ckpts, results, ft_argv, legs)
@@ -477,6 +489,17 @@ def main(argv=None):
         jax.device_get(state.params)["encoder"],
         jax.device_get(state.batch_stats)["encoder"])
     results["checkpoints"] = ckpts
+
+    if args.pretrain_only:
+        os.makedirs(args.out, exist_ok=True)
+        part = os.path.join(args.log_dir, "pretrain_stage.json")
+        with open(part, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"[dice_parity] --pretrain_only: checkpoints saved; "
+              f"pretrain-stage metrics at {part}. Re-run with "
+              f"--reuse_pretrain (same --log_dir/--steps/--n_pert) for "
+              f"the finetune legs.")
+        return results
 
     return _run_finetunes(args, ckpts, results, ft_argv, legs)
 
