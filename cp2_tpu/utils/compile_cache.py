@@ -36,10 +36,22 @@ def enable_persistent_compilation_cache(
             )
     try:
         os.makedirs(path, exist_ok=True)
+        changed = jax.config.jax_compilation_cache_dir != path
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_seconds
         )
+        if changed:
+            # JAX materializes the cache singleton lazily at first use and
+            # then ignores later jax_compilation_cache_dir updates; without
+            # a reset, a second call with a different path (documented as
+            # safe) would silently keep writing to the old directory.
+            try:
+                from jax._src import compilation_cache as _cc
+
+                _cc.reset_cache()
+            except Exception:
+                pass
     except Exception:
         return None
     return path
