@@ -144,9 +144,50 @@ def test_dice_parity_dryrun():
                   # r5: flagship arch + n>=3 chaos envelope + TPU ours-leg
                   ["--arch", "r50", "--n_pert", "3", "--hw", "224",
                    "--batch", "8", "--corpus_size", "256",
-                   "--img_size", "352", "--ours_device", "default"]):
+                   "--img_size", "352", "--ours_device", "default"],
+                  # r5: CPU-torch/TPU-finetune stage split (the 1-core
+                  # host schedules the torch legs and finetunes apart)
+                  ["--arch", "r50", "--n_pert", "3", "--pretrain_only"]):
         out = dice_parity.main(["--dryrun"] + extra)
         assert out["dryrun"] is True
+
+
+def test_dice_parity_stage_split_merges_pretrain_metrics(tmp_path):
+    """--reuse_pretrain merges the --pretrain_only stage metrics into the
+    final artifact, so the split schedule loses no pretrain-loss data."""
+    import json
+
+    from tools import dice_parity
+
+    log_dir = tmp_path / "dp"
+    log_dir.mkdir()
+    stage = {"config": {"steps": 9}, "pretrain_mean_rel_dev_ours": 0.5,
+             "ref_pretrain_seconds": 1.0}
+    (log_dir / "pretrain_stage.json").write_text(json.dumps(stage))
+    # missing checkpoints must fail loudly, not run finetunes
+    try:
+        dice_parity.main(["--reuse_pretrain", "--log_dir", str(log_dir),
+                          "--steps", "9"])
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError as e:
+        assert "checkpoints missing" in str(e)
+    # with the checkpoints present, the merge runs before the finetunes;
+    # use --dryrun's sibling path by invoking the merge logic directly
+    for tag in ("ref", "pert", "ours"):
+        (log_dir / f"ckpt_{tag}" / "9").mkdir(parents=True)
+    calls = []
+    orig = dice_parity._run_finetunes
+    dice_parity._run_finetunes = (
+        lambda args, ckpts, results, ft_argv, legs:
+            calls.append(results) or results)
+    try:
+        out = dice_parity.main(["--reuse_pretrain", "--log_dir",
+                                str(log_dir), "--steps", "9"])
+    finally:
+        dice_parity._run_finetunes = orig
+    assert calls and out["pretrain_mean_rel_dev_ours"] == 0.5
+    assert out["ref_pretrain_seconds"] == 1.0
+    assert "config" in out and out["config"]["steps"] == 9  # not clobbered
 
 
 def test_quality_gate_dryrun_corpus_v2():
