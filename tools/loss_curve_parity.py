@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3,
                    help="reference pretrain lr (scripts/polyp.sh:40)")
     p.add_argument("--window", type=int, default=15)
+    p.add_argument("--n_pert", type=int, default=1,
+                   help="independent perturbed-reference replicates, each "
+                        "perturbing a DIFFERENT kernel (n>=3 makes the "
+                        "self-chaos envelope a spread, not a single draw; "
+                        "VERDICT r4 weak #3, mirrored from dice_parity)")
     p.add_argument("--out", default=os.path.join(REPO, "reports", "quality"))
     args = p.parse_args(argv)
 
@@ -61,7 +66,16 @@ def main(argv=None):
     print(f"running reference (torch, lr={args.lr}) x2 for {args.steps} "
           "steps ...")
     ref = run_reference_real(batches, lr=args.lr)
-    pert = run_reference_real(batches, lr=args.lr, perturb=1e-6)
+    perts = []
+    for i in range(args.n_pert):
+        # i == 0 keeps the historical stem draw; later replicates
+        # perturb a different kernel each (same scheme as dice_parity)
+        pseed = None if i == 0 else i * 37 + 1
+        print(f"running reference+1e-6 replicate {i} "
+              f"(perturb_seed={pseed}) ...")
+        perts.append(run_reference_real(
+            batches, lr=args.lr, perturb=1e-6, perturb_seed=pseed))
+    pert = perts[0]
     print("running rebuild (jax) ...")
     ours = run_ours_real(batches, ref, lr=args.lr)
 
@@ -69,7 +83,9 @@ def main(argv=None):
     our_l = np.asarray(ours["losses"])
     pert_l = np.asarray(pert["losses"])
     rel = np.abs(our_l - ref_l) / np.abs(ref_l)
-    self_rel = np.abs(pert_l - ref_l) / np.abs(ref_l)
+    self_rels = [np.abs(np.asarray(p["losses"]) - ref_l) / np.abs(ref_l)
+                 for p in perts]
+    self_rel = self_rels[0]
     parts_ref = np.asarray(ref["loss_parts"])  # (N, 2): instance, dense
     parts_our = np.asarray(ours["loss_parts"])
 
@@ -84,6 +100,13 @@ def main(argv=None):
         "mean_rel_dev_total": float(rel.mean()),
         "torch_self_divergence_max": float(self_rel.max()),
         "torch_self_divergence_mean": float(self_rel.mean()),
+        "n_pert": args.n_pert,
+        "torch_self_divergence_means": [float(r.mean())
+                                        for r in self_rels],
+        "torch_self_divergence_maxes": [float(r.max())
+                                        for r in self_rels],
+        "torch_self_divergence_mean_envelope": float(
+            max(r.mean() for r in self_rels)),
         "window": args.window,
         "window_mean_rel_dev": wm_dev.tolist(),
         "max_window_mean_rel_dev": float(wm_dev.max()),
@@ -100,6 +123,8 @@ def main(argv=None):
                           "instance": parts_ref[:, 0].tolist(),
                           "dense": parts_ref[:, 1].tolist()},
             "reference_perturbed_total": pert_l.tolist(),
+            "reference_perturbed_totals": [
+                np.asarray(p["losses"]).tolist() for p in perts],
             "rebuild": {"total": our_l.tolist(),
                         "instance": parts_our[:, 0].tolist(),
                         "dense": parts_our[:, 1].tolist()},
