@@ -95,9 +95,10 @@ def test_hard_corpus_versions_deterministic_and_distinct():
         make_sample,
         make_sample_v2,
         make_sample_v3,
+        make_sample_v4,
     )
 
-    for fn in (make_sample_v2, make_sample_v3):
+    for fn in (make_sample_v2, make_sample_v3, make_sample_v4):
         img, mask = fn(11, 64)
         img2, mask2 = fn(11, 64)
         assert (img == img2).all() and (mask == mask2).all()
@@ -110,8 +111,12 @@ def test_hard_corpus_versions_deterministic_and_distinct():
     v1 = make_sample(11, 64)[0]
     v2 = make_sample_v2(11, 64)[0]
     v3 = make_sample_v3(11, 64)[0]
+    v4 = make_sample_v4(11, 64)[0]
     assert not (v1 == v2).all()
     assert not (v2 == v3).all()
+    # v4 (the calibrated in-band interpolation the r5 gate runs on) is
+    # its own draw, distinct from both endpoints
+    assert not (v4 == v2).all() and not (v4 == v3).all()
 
 
 def test_generate_version_plumbs_through(tmp_path):
