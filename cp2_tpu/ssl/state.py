@@ -60,10 +60,18 @@ def create_pretrain_state(
     """Initialize params (key = exact copy of query, builder.py:464-469),
     queues, and optimizer state."""
     init_rng, q_rng, q2_rng = jax.random.split(rng, 3)
+    # jit the init: eager flax init dispatches hundreds of small ops
+    # one-by-one (minutes through a high-latency device tunnel); one
+    # compiled program is also persistent-cache friendly. Same values —
+    # init is pure and PRNG-deterministic.
     if init_fn is None:
-        variables = model.init(init_rng, sample_input, train=False)
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, train=False)
+        )(init_rng, sample_input)
     else:
-        variables = init_fn(model, init_rng, sample_input)
+        variables = jax.jit(
+            lambda r, x: init_fn(model, r, x)
+        )(init_rng, sample_input)
     params = variables.get("params", {})
     batch_stats = variables.get("batch_stats", {})
     return PretrainState(
